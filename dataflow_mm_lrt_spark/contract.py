@@ -1,0 +1,620 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle pairs.
+
+Each entry runs one engine operator (SURVEY.md §2) over the driver's
+testdata tables and has a DuckDB twin built from the *same* dual-dialect
+expression source (``functions/``), so the oracle check exercises real
+semantics, not hand-copied SQL.
+
+Column-name/type discipline: every computed column is aliased
+identically on both sides; ints are emitted as bigint, floats rounded
+(6 dp; 2 dp for large sums), timestamps as epoch seconds (bigint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .functions.hashing import md5_int_sql, minhash_coeffs, perm_hash_sql, shingles_sql
+from .functions.normalize import normalize_sql
+from .functions.text_rules import RULES, keep_sql, rule_flag_sql
+from .functions.textstats import (
+    bpe_ish_token_count_sql,
+    lang_id_sql,
+    quality_score_sql,
+    token_count_sql,
+)
+from .operators import chunk, dedup, ranking, similarity, windows
+
+NUM_PERM = 16
+BANDS = 4
+SHINGLE_N = 3
+MINHASH_JACCARD = 0.5
+NGRAM_JACCARD = 0.8
+SIMHASH_BITS = 48
+SIMHASH_HAMMING = 3
+KNN_K = 3
+QUERY_MOD = 50  # embeddings with vec_id % 50 == 0 are the query set
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text cleaning / analysis over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_rule_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.expr(keep_sql("spark", "text")))
+        .select("doc_id")
+    )
+
+
+def sql_rule_filter():
+    return f"SELECT doc_id FROM documents WHERE {keep_sql('duckdb', 'text')}"
+
+
+def q_rule_flags(spark, sf_dir):
+    cols = [F.col("doc_id")] + [
+        F.expr(rule_flag_sql("spark", r, "text")).alias(f"fail_{r}") for r in RULES
+    ]
+    return _t(spark, sf_dir, "documents").select(*cols)
+
+
+def sql_rule_flags():
+    cols = ", ".join(
+        f"{rule_flag_sql('duckdb', r, 'text')} AS fail_{r}" for r in RULES
+    )
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_normalize(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(normalize_sql("spark", "text")).alias("text_norm")
+    )
+
+
+def sql_normalize():
+    return (
+        f"SELECT doc_id, {normalize_sql('duckdb', 'text')} AS text_norm FROM documents"
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(token_count_sql("spark", "text")).cast("long").alias("n_tokens"),
+        F.expr(bpe_ish_token_count_sql("spark", "text")).cast("long").alias("n_tokens_bpe"),
+        F.expr(lang_id_sql("spark", "text")).alias("lang_pred"),
+        F.expr(quality_score_sql("spark", "text")).alias("quality"),
+        F.md5(F.expr(normalize_sql("spark", "text"))).alias("fingerprint"),
+    )
+
+
+def sql_text_stats():
+    return (
+        "SELECT doc_id, "
+        f"CAST({token_count_sql('duckdb', 'text')} AS BIGINT) AS n_tokens, "
+        f"CAST({bpe_ish_token_count_sql('duckdb', 'text')} AS BIGINT) AS n_tokens_bpe, "
+        f"{lang_id_sql('duckdb', 'text')} AS lang_pred, "
+        f"{quality_score_sql('duckdb', 'text')} AS quality, "
+        f"md5({normalize_sql('duckdb', 'text')}) AS fingerprint "
+        "FROM documents"
+    )
+
+
+def q_chunk_sentences(spark, sf_dir):
+    out = chunk.explode_sentences(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "sentence")
+
+
+def sql_chunk_sentences():
+    return (
+        "WITH s AS (SELECT doc_id, list_filter(list_transform("
+        "regexp_split_to_array(text, '[.!?]'), x -> trim(x)), x -> len(x) >= 1) AS l "
+        "FROM documents) "
+        "SELECT doc_id, CAST(u.e['i'] - 1 AS BIGINT) AS chunk_idx, u.e['v'] AS sentence "
+        "FROM (SELECT doc_id, unnest(list_transform(l, (x, i) -> {'v': x, 'i': i})) AS e FROM s) u"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_keep_first(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
+def sql_dedup_exact():
+    return (
+        f"SELECT doc_id FROM documents QUALIFY row_number() OVER "
+        f"(PARTITION BY md5({normalize_sql('duckdb', 'text')}) ORDER BY doc_id) = 1"
+    )
+
+
+def _sig_sql_duckdb() -> str:
+    a, b = minhash_coeffs(NUM_PERM)
+    sh = shingles_sql("duckdb", "text", SHINGLE_N)
+    h = md5_int_sql("duckdb", "x")
+    mins = ", ".join(
+        f"list_min(list_transform({sh}, x -> {perm_hash_sql('duckdb', h, int(a[i]), int(b[i]))}))"
+        for i in range(NUM_PERM)
+    )
+    return f"[{mins}]"
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh(
+        _t(spark, sf_dir, "documents"),
+        num_perm=NUM_PERM,
+        bands=BANDS,
+        shingle_n=SHINGLE_N,
+        jaccard_threshold=MINHASH_JACCARD,
+    )
+
+
+def sql_dedup_minhash():
+    rows = NUM_PERM // BANDS
+    band_structs = ", ".join(
+        f"{{'band_idx': {i}, 'band_hash': md5(array_to_string(sig[{i * rows + 1}:{(i + 1) * rows}], ','))}}"
+        for i in range(BANDS)
+    )
+    return f"""
+WITH sig AS (SELECT doc_id, {_sig_sql_duckdb()} AS sig FROM documents),
+banded AS (
+  SELECT doc_id, sig, unnest([{band_structs}]) AS b FROM sig
+),
+bx AS (SELECT doc_id, sig, b['band_idx'] AS band_idx, b['band_hash'] AS band_hash FROM banded),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         list_sum(list_transform(list_zip(l.sig, r.sig),
+                  p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) * 1e0 / len(l.sig) AS est_jaccard
+  FROM bx l JOIN bx r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+),
+dups AS (SELECT DISTINCT id_b FROM pairs WHERE est_jaccard >= {MINHASH_JACCARD})
+SELECT d.doc_id, coalesce(d.doc_id IN (SELECT id_b FROM dups), false) AS is_dup
+FROM documents d
+"""
+
+
+def q_dedup_ngram(spark, sf_dir):
+    return dedup.ngram_jaccard(
+        _t(spark, sf_dir, "documents"), shingle_n=SHINGLE_N, threshold=NGRAM_JACCARD
+    )
+
+
+def sql_dedup_ngram():
+    sh = shingles_sql("duckdb", "text", SHINGLE_N)
+    return f"""
+WITH base AS (SELECT doc_id, {sh} AS shingles FROM documents),
+inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM base),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.n_sh AS na, r.n_sh AS nb, count(*) AS common
+  FROM inv l JOIN inv r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+dups AS (
+  SELECT DISTINCT id_b FROM pairs
+  WHERE common * 1e0 / (na + nb - common) >= {NGRAM_JACCARD}
+)
+SELECT d.doc_id, coalesce(d.doc_id IN (SELECT id_b FROM dups), false) AS is_dup
+FROM documents d
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_near_dup(
+        _t(spark, sf_dir, "documents"),
+        bits=SIMHASH_BITS,
+        hamming_threshold=SIMHASH_HAMMING,
+    )
+
+
+def sql_dedup_simhash():
+    h = md5_int_sql("duckdb", "w")
+    chunk_bits, n_chunks = 12, SIMHASH_BITS // 12
+    chunk_structs = ", ".join(
+        f"{{'ci': {i}, 'cv': (simhash >> {i * chunk_bits}) % {1 << chunk_bits}}}"
+        for i in range(n_chunks)
+    )
+    return f"""
+WITH th AS (
+  SELECT doc_id, list_transform(
+    list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')),
+    w -> {h}) AS th
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), i ->
+    CASE WHEN 2 * len(list_filter(th, v -> (v >> i) % 2 = 1)) > len(th)
+         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+  FROM th
+),
+banded AS (SELECT doc_id, simhash, unnest([{chunk_structs}]) AS c FROM sh),
+bx AS (SELECT doc_id, simhash, c['ci'] AS ci, c['cv'] AS cv FROM banded),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         bit_count(xor(l.simhash, r.simhash)) AS hamming
+  FROM bx l JOIN bx r ON l.ci = r.ci AND l.cv = r.cv AND l.doc_id < r.doc_id
+),
+dups AS (SELECT DISTINCT id_b FROM pairs WHERE hamming <= {SIMHASH_HAMMING})
+SELECT d.doc_id, coalesce(d.doc_id IN (SELECT id_b FROM dups), false) AS is_dup
+FROM documents d
+"""
+
+
+# ---------------------------------------------------------------------------
+# windows / CEP over `events`
+# ---------------------------------------------------------------------------
+
+
+def q_tumbling(spark, sf_dir):
+    return windows.tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+def sql_tumbling():
+    return """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sliding(spark, sf_dir):
+    return windows.sliding_counts(_t(spark, sf_dir, "events"))
+
+
+def sql_sliding():
+    return """
+SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)) AS BIGINT) - o.off AS window_start,
+       event_type, count(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1800)) o(off)
+GROUP BY 1, 2
+"""
+
+
+def q_session(spark, sf_dir):
+    return windows.session_windows(_t(spark, sf_dir, "events"))
+
+
+def sql_session(gap_seconds: int = 1800):
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   >= {gap_seconds} OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+       count(*) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS trail
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def q_cep_funnel(spark, sf_dir):
+    return windows.cep_funnel(_t(spark, sf_dir, "events"))
+
+
+def sql_cep_funnel(within_seconds: int = 1800):
+    return f"""
+WITH sub AS (
+  SELECT user_id, event_id, event_type, ts FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+seq AS (
+  SELECT user_id, event_type, ts,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM sub
+)
+SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS first_ts,
+       CAST(floor(epoch(next_ts)) AS BIGINT) AS second_ts
+FROM seq
+WHERE event_type = 'view' AND next_type = 'purchase'
+  AND floor(epoch(next_ts)) - floor(epoch(ts)) <= {within_seconds}
+"""
+
+
+def q_score_filter(spark, sf_dir):
+    out = ranking.score_filter(
+        _t(spark, sf_dir, "events"), score_col="value", min_score=50.0, max_score=150.0
+    )
+    return out.select("event_id", "select")
+
+
+def sql_score_filter():
+    return (
+        "SELECT event_id, (value >= 50.0 AND value <= 150.0) AS select FROM events"
+    )
+
+
+def q_dedup_first_event(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def sql_dedup_first_event():
+    return """
+SELECT user_id, event_type, event_id FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+"""
+
+
+def q_assemble_trail(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "_s", F.struct("ts", "event_id", "event_type")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(_s)), s -> s.event_type), char(10))"
+            ).alias("convo"),
+        )
+    )
+
+
+def sql_assemble_trail():
+    return """
+SELECT user_id, count(*) AS n_events,
+       string_agg(event_type, chr(10) ORDER BY ts, event_id) AS convo
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def sql_pricing_summary():
+    return """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def sql_top_revenue_orders():
+    return """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_top_customers_per_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust.join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    top = ranking.top_k(
+        joined, score_col="c_acctbal", k=3, key_col="n_name", tie_col="c_custkey"
+    )
+    return top.select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+
+
+def sql_top_customers_per_nation():
+    return """
+SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+QUALIFY row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity over `embeddings`
+# ---------------------------------------------------------------------------
+
+
+def q_knn_brute(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    out = similarity.knn_brute_cosine(emb, q, k=KNN_K)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def sql_knn_brute():
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM q JOIN embeddings c ON q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {KNN_K}
+"""
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    out = similarity.ann_ivf_cosine(emb, q, k=KNN_K)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def sql_ann_ivf():
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, label, embedding FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM q JOIN embeddings c ON q.label = c.label AND q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {KNN_K}
+"""
+
+
+def q_embedding_norms(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.expr(
+            "round(sqrt(aggregate(embedding, 0d, (acc, v) -> acc + cast(v as double) * cast(v as double))), 6)"
+        ).alias("norm"),
+    )
+
+
+def sql_embedding_norms():
+    return """
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       round(sqrt(list_sum(list_transform(embedding, v -> v::DOUBLE * v::DOUBLE))), 6) AS norm
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rule_filter": q_rule_filter,
+    "rule_flags": q_rule_flags,
+    "normalize_text": q_normalize,
+    "text_stats": q_text_stats,
+    "chunk_sentences": q_chunk_sentences,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_simhash": q_dedup_simhash,
+    "tumbling_window": q_tumbling,
+    "sliding_window": q_sliding,
+    "session_window": q_session,
+    "cep_funnel": q_cep_funnel,
+    "score_filter": q_score_filter,
+    "dedup_first_event": q_dedup_first_event,
+    "assemble_trail": q_assemble_trail,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "top_customers_per_nation": q_top_customers_per_nation,
+    "knn_brute_cosine": q_knn_brute,
+    "ann_ivf_cosine": q_ann_ivf,
+    "embedding_norms": q_embedding_norms,
+}
+
+ORACLES: dict[str, str] = {
+    "rule_filter": sql_rule_filter(),
+    "rule_flags": sql_rule_flags(),
+    "normalize_text": sql_normalize(),
+    "text_stats": sql_text_stats(),
+    "chunk_sentences": sql_chunk_sentences(),
+    "dedup_exact": sql_dedup_exact(),
+    "dedup_minhash_lsh": sql_dedup_minhash(),
+    "dedup_ngram_jaccard": sql_dedup_ngram(),
+    "dedup_simhash": sql_dedup_simhash(),
+    "tumbling_window": sql_tumbling(),
+    "sliding_window": sql_sliding(),
+    "session_window": sql_session(),
+    "cep_funnel": sql_cep_funnel(),
+    "score_filter": sql_score_filter(),
+    "dedup_first_event": sql_dedup_first_event(),
+    "assemble_trail": sql_assemble_trail(),
+    "pricing_summary": sql_pricing_summary(),
+    "top_revenue_orders": sql_top_revenue_orders(),
+    "top_customers_per_nation": sql_top_customers_per_nation(),
+    "knn_brute_cosine": sql_knn_brute(),
+    "ann_ivf_cosine": sql_ann_ivf(),
+    "embedding_norms": sql_embedding_norms(),
+}
+
+
+def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: clean → dedup → stats over documents, summarized per
+    predicted language (exercises rules, normalize, dedup, stats, agg)."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = docs.filter(F.expr(keep_sql("spark", "text")))
+    deduped = dedup.exact_keep_first(cleaned)
+    stats = deduped.select(
+        "doc_id",
+        "lang",
+        F.expr(lang_id_sql("spark", "text")).alias("lang_pred"),
+        F.expr(quality_score_sql("spark", "text")).alias("quality"),
+        F.expr(token_count_sql("spark", "text")).cast("long").alias("n_tokens"),
+    )
+    return (
+        stats.groupBy("lang", "lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "lang_pred")
+    )

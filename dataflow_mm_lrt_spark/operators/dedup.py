@@ -1,0 +1,245 @@
+"""Deduplication stages (SURVEY.md §2.3) — batch forms.
+
+The reference's sequential keep-first dedup
+(image_diversity_filter.py:20-34: first occurrence wins, later
+near-duplicates dropped) generalizes here to order-aware distributed
+dedup: "first" is defined by an explicit ordering key (the engine's
+stable (conv_id, turn_idx) order, or doc_id), so results are
+deterministic under any partitioning.
+
+Scale notes (100 TB):
+* exact dedup = hash-partition on the fingerprint → one shuffle, no
+  skew (md5 keys are uniform), window row_number instead of
+  groupBy+join (single pass).
+* MinHash/LSH = explode shingles (map-side), min-aggregate per
+  permutation (partial aggregation), band-bucket self-join — the join
+  key (band hash) is uniform by construction; candidate verification
+  is a narrow pair join, never an all-pairs product.
+* SimHash = same md5-derived bit tricks, Hamming check via xor+popcount.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int_sql, minhash_coeffs, perm_hash_sql, shingles_sql
+from ..functions.normalize import fingerprint_sql
+
+
+def exact_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint, keeping the first
+    row in ``order_cols`` order (reference keep-first semantics)."""
+    fp = F.expr(fingerprint_sql("spark", text_col))
+    w = Window.partitionBy("_fp").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("_fp", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str = "text", num_perm: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """Adds ``sig`` (array<bigint> of length num_perm): MinHash over word
+    n-gram shingles, entirely in Catalyst expressions."""
+    a, b = minhash_coeffs(num_perm)
+    sh = shingles_sql("spark", text_col, shingle_n)
+    h = md5_int_sql("spark", "x")
+    # hash every shingle once into `_sh`, then take the k permutation mins
+    # over the already-hashed array (k small exprs instead of k re-shingles)
+    mins = [
+        f"array_min(transform(_sh, x -> {perm_hash_sql('spark', 'x', int(a[i]), int(b[i]))}))"
+        for i in range(num_perm)
+    ]
+    return (
+        df.withColumn("_sh", F.expr(f"transform({sh}, x -> {h})"))
+        .withColumn("sig", F.expr("array(" + ", ".join(mins) + ")"))
+        .drop("_sh")
+    )
+
+
+def minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-dup marking.
+
+    Pipeline: signature → band hashes → explode bands → self-join on
+    (band_idx, band_hash) → candidate pairs → estimated Jaccard from
+    signature agreement → mark the *later* id of every pair ≥ threshold
+    as duplicate (keep-first, image_deduplication_filter.py:143-156).
+    Returns (id_col, is_dup boolean).
+    """
+    rows_per_band = num_perm // bands
+    sig_df = with_minhash_signature(df, text_col, num_perm, shingle_n).select(
+        F.col(id_col), "sig"
+    )
+    band_exprs = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.md5(F.expr(f"array_join(slice(sig, {i * rows_per_band + 1}, {rows_per_band}), ',')")).alias("band_hash"),
+        )
+        for i in range(bands)
+    ]
+    banded = sig_df.select(
+        id_col, "sig", F.explode(F.array(*band_exprs)).alias("b")
+    ).select(id_col, "sig", "b.band_idx", "b.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_idx") == F.col("r.band_idx"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.expr(
+                "size(filter(zip_with(l.sig, r.sig, (x, y) -> x = y), b -> b)) * 1e0 / size(l.sig)"
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+    )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "is_dup", F.lit(True)
+    )
+    return (
+        df.select(id_col)
+        .join(dups, on=id_col, how="left")
+        .select(id_col, F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup marking via shingle-inverted-index
+    self-join (no all-pairs product): explode distinct shingles, join on
+    shingle, count common per pair, |A∪B| = |A|+|B|-common. Marks the
+    later id of every pair ≥ threshold (keep-first). Returns
+    (id_col, is_dup)."""
+    sh = shingles_sql("spark", text_col, shingle_n)
+    base = df.select(id_col, F.expr(sh).alias("shingles")).withColumn(
+        "n_sh", F.size("shingles")
+    )
+    inv = base.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
+    l, r = inv.alias("l"), inv.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.shingle") == F.col("r.shingle"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.n_sh").alias("na"),
+            F.col("r.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+        .withColumn(
+            "jaccard", F.expr("common * 1e0 / (na + nb - common)")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "is_dup", F.lit(True)
+    )
+    return (
+        df.select(id_col)
+        .join(dups, on=id_col, how="left")
+        .select(id_col, F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    hamming_threshold: int = 3,
+) -> DataFrame:
+    """SimHash near-dup marking.
+
+    Per doc: 48-bit simhash from token md5-hashes (majority vote per
+    bit, all in Catalyst). Candidate generation via 4 bucket keys
+    (12-bit chunks — two dups within Hamming ≤3 share at least one
+    chunk), verification via xor+popcount. Returns (id_col, is_dup).
+    """
+    toks = f"array_distinct(filter(split(lower({text_col}), '\\\\s+'), w -> w <> ''))"
+    h = md5_int_sql("spark", "w")
+    # hash each token once; then one aggregate folds the majority vote of
+    # every bit position into the 48-bit simhash
+    hashes = f"transform({toks}, w -> {h})"
+    sim_expr = (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) -> "
+        f"acc + IF(size(filter(th, v -> (v >> i) % 2 = 1)) * 2 > size(th), "
+        f"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+    base = df.select(id_col, F.expr(hashes).alias("th")).select(
+        id_col, F.expr(sim_expr).alias("simhash")
+    )
+    chunk = 12
+    n_chunks = bits // chunk
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.expr(f"(simhash >> {i * chunk}) % {1 << chunk}").alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = base.select(id_col, "simhash", F.explode(chunks).alias("c")).select(
+        id_col, "simhash", "c.chunk_idx", "c.chunk_val"
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk_idx") == F.col("r.chunk_idx"),
+                F.col("l.chunk_val") == F.col("r.chunk_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= hamming_threshold)
+    )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "is_dup", F.lit(True)
+    )
+    return (
+        df.select(id_col)
+        .join(dups, on=id_col, how="left")
+        .select(id_col, F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+    )

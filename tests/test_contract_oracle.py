@@ -1,0 +1,68 @@
+"""Replicates the driver's correctness gate locally: every
+``queries()`` entry vs its DuckDB ``oracle_sql()`` twin at sf0.001 —
+row count, column names, and exact order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from dataflow_mm_lrt_spark.contract import ORACLES, QUERIES, entry_query
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+    pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    return pdf
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    got = QUERIES[name](spark, SF_DIR).toPandas()
+    exp = duck.sql(ORACLES[name]).df()
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    g, e = _canon(got), _canon(exp)
+    for c in g.columns:
+        gv, ev = g[c].to_numpy(), e[c].to_numpy()
+        if np.issubdtype(g[c].dtype, np.floating):
+            both_nan = pd.isna(gv) & pd.isna(ev)
+            ok = both_nan | (gv == ev)
+        else:
+            ok = gv == ev
+        assert ok.all(), (
+            f"{name}.{c}: first diff at row {int(np.argmin(ok))}: "
+            f"{gv[np.argmin(ok)]!r} vs {ev[np.argmin(ok)]!r}"
+        )
+
+
+def test_entry_runs(spark):
+    out = entry_query(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert {"lang", "lang_pred", "n_docs", "avg_quality", "total_tokens"} <= set(
+        out.columns
+    )
