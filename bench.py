@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Engine benchmark: headline batch operators + streaming pipeline throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "streaming": {"turns": N, "sec": s, "turns_per_sec": r}}
+
+The streaming section drains a deterministically generated transcript
+dataset (seed 42, sized to the sf) through the full S1→S6→sink pipeline
+and reports sustained turns/sec — the BASELINE.json headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "rule_filter",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "tumbling_window",
+    "sliding_window",
+    "session_window",
+    "cep_funnel",
+    "assemble_trail",
+    "pricing_summary",
+    "top_revenue_orders",
+    "knn_brute_cosine",
+]
+
+
+def sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def transcript_dataset_for(sf: float, n_files: int = 8) -> str:
+    """Deterministic transcript dataset cached per sf (seed 42)."""
+    from dataflow_mm_lrt_spark import datagen
+
+    cache = f"/tmp/spark_graft_transcripts_sf{sf}"
+    marker = os.path.join(cache, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        datagen.write_dataset(cache, sf=sf, n_files=n_files)
+        import numpy as np
+
+        # punctuation row drains the stateful stage at the end of the run
+        datagen.append_punctuation_file(
+            os.path.join(cache, "transcripts"),
+            np.datetime64("2026-01-01T00:00:00"),
+        )
+        open(marker, "w").write("ok")
+    return cache
+
+
+def main() -> None:
+    from dataflow_mm_lrt_spark.contract import QUERIES
+    from dataflow_mm_lrt_spark.session import build_session
+    from dataflow_mm_lrt_spark.streaming.run import PipelineConfig, run_pipeline
+
+    sf = sf_from_dir(SF_DIR)
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        df = fn(spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    # streaming throughput (headline metric)
+    ds = transcript_dataset_for(sf)
+    in_dir = os.path.join(ds, "transcripts")
+    n_turns = spark.read.parquet(in_dir).count()
+    out_dir = f"/tmp/spark_graft_bench_out_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cfg = PipelineConfig(
+        watermark_delay="72 hours", max_files_per_trigger=None
+    )
+    t0 = time.time()
+    sink, _ = run_pipeline(spark, in_dir, out_dir, cfg)
+    stream_sec = time.time() - t0
+    emitted = sum(m["n_rows"] for m in sink.manifests())
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(per_query.values()) + stream_sec, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline operators + streaming drain wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "streaming": {
+                    "turns_in": n_turns,
+                    "turns_out": emitted,
+                    "sec": round(stream_sec, 3),
+                    "turns_per_sec": round(n_turns / stream_sec, 1),
+                },
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

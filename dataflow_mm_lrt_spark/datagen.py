@@ -208,7 +208,41 @@ def write_dataset(out_dir: str, sf: float = 0.001, seed: int = SEED,
         os.makedirs(d, exist_ok=True)
         table = pa.Table.from_pandas(df, preserve_index=False)
         chunk = max(1, (len(df) + n_files - 1) // n_files)
+        base_mtime = 1_700_000_000
         for i in range(0, len(df), chunk):
-            pq.write_table(table.slice(i, chunk), os.path.join(d, f"part-{i//chunk:05d}.parquet"))
+            fp = os.path.join(d, f"part-{i//chunk:05d}.parquet")
+            pq.write_table(table.slice(i, chunk), fp)
+            # strictly increasing mtimes → deterministic file-stream order
+            os.utime(fp, (base_mtime + i // chunk, base_mtime + i // chunk))
         paths[name] = d
     return paths
+
+
+def append_punctuation_file(dataset_dir: str, ts: "np.datetime64") -> str:
+    """Append a single far-future heartbeat row (dummy conversation) so an
+    availableNow drain advances the watermark past all real data and the
+    stateful stage flushes every buffered turn (test/ops pattern)."""
+    df = pd.DataFrame(
+        {
+            "conv_id": ["__punctuation__"],
+            "turn_idx": np.array([0], dtype=np.int32),
+            "role": ["system"],
+            "text": ["heartbeat"],
+            "tool": pd.Series([None], dtype=object),
+            "ts": pd.Series([pd.Timestamp(ts)]),
+        }
+    )
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    fp = os.path.join(dataset_dir, "part-zz-punctuation.parquet")
+    pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), fp)
+    os.utime(fp, (1_800_000_000, 1_800_000_000))
+    return fp

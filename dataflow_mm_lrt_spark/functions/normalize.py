@@ -38,11 +38,14 @@ def strip_puncs_sql(dialect: str, t: str) -> str:
 def strip_multimodal_tokens_sql(dialect: str, t: str) -> str:
     """Conversation2Message._parse_multimodal_tokens cleanup
     (conversation_to_message.py:39-41): drop <image>/<video>/<audio>
-    tokens, collapse repeated newlines, strip."""
+    tokens, strip, collapse repeated newlines, strip. The strip matches
+    python ``str.strip()`` (all whitespace), so it is regex-based rather
+    than SQL ``trim`` (spaces only)."""
     d = DIALECTS[dialect]
     no_tokens = f"replace(replace(replace({t}, '<image>', ''), '<video>', ''), '<audio>', '')"
-    collapsed = d.regexp_replace_all(f"trim({no_tokens})", r"\n+", "\n")
-    return f"trim({collapsed})"
+    s1 = d.regexp_replace_all(no_tokens, r"^\s+|\s+$", "")
+    collapsed = d.regexp_replace_all(s1, r"\n+", "\n")
+    return d.regexp_replace_all(collapsed, r"^\s+|\s+$", "")
 
 
 def fingerprint_sql(dialect: str, t: str) -> str:

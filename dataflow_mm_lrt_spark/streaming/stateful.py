@@ -1,0 +1,226 @@
+"""Stateful ordered conversation assembly (the engine's core stage).
+
+``ordered_assembly`` implements the north-star "sorted-run" state:
+``conv_id → sorted run of (turn_idx, ts)`` with watermark-driven
+eviction (BASELINE.json north_star), via ``applyInPandasWithState``:
+
+* every micro-batch appends the conversation's new turns to a buffered
+  run (rows already older than the watermark are dropped; that drop is
+  deterministic given the same input stream + watermark progression);
+* a turn is *ready* once ``watermark ≥ ts + order_slack`` — the slack is
+  the bounded intra-conversation disorder between event time and
+  turn_idx (fixture bound: 90 s; default 120 s). Ready turns are emitted
+  sorted by (turn_idx, ts) with a per-conversation ``emit_seq``;
+* in-conversation keep-first dedup happens at emission: a turn whose
+  normalized-text fingerprint (``fp``, computed upstream in Catalyst by
+  ``fingerprint_sql`` — no hashing in Python) was already emitted in
+  this conversation is skipped. This is the deterministic, order-stable
+  generalization of the reference's sequential corpus dedup
+  (image_diversity_filter.py:20-34): first occurrence in stable
+  (turn_idx, ts) order wins;
+* state is evicted ``state_ttl`` past the conversation's last event time
+  (bounded state; the streaming analogue of the reference's
+  max_corpus=10000 bound, image_diversity_filter.py:15).
+
+The group function is Arrow-batched and fully pandas-vectorized — the
+only Python executed per *row* is pickle of the bounded buffer.
+Emission is deterministic for a fixed input stream + watermark sequence
+— the contract pytest replays (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.normalize import fingerprint_sql
+
+ASSEMBLED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("emit_seq", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("buf", BinaryType()),
+        StructField("seen", BinaryType()),
+        StructField("emit_seq", LongType()),
+        StructField("last_ts_ms", LongType()),
+    ]
+)
+
+_BUF_COLS = ["turn_idx", "ts_us", "role", "text", "tool", "fp"]
+
+DEFAULT_ORDER_SLACK_MS = 120_000
+DEFAULT_STATE_TTL_MS = 6 * 3600 * 1000
+
+
+def _empty_buf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "turn_idx": pd.Series(dtype="int64"),
+            "ts_us": pd.Series(dtype="int64"),
+            "role": pd.Series(dtype=object),
+            "text": pd.Series(dtype=object),
+            "tool": pd.Series(dtype=object),
+            "fp": pd.Series(dtype=object),
+        }
+    )
+
+
+def make_assembly_func(order_slack_ms: int, state_ttl_ms: int):
+    def assemble(
+        key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.exists:
+            buf_b, seen_b, emit_seq, last_ts_ms = state.get
+            buf: pd.DataFrame = pickle.loads(buf_b)
+            seen: set[str] = pickle.loads(seen_b)
+        else:
+            buf, seen, emit_seq, last_ts_ms = _empty_buf(), set(), 0, 0
+
+        wm = state.getCurrentWatermarkMs()
+
+        chunks = [buf]
+        for pdf in pdf_iter:
+            if state.hasTimedOut or len(pdf) == 0:
+                continue
+            ts_us = pd.Series(
+                pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+                // 1_000,
+                index=pdf.index,
+            )
+            fresh = pd.DataFrame(
+                {
+                    "turn_idx": pdf["turn_idx"].astype("int64"),
+                    "ts_us": ts_us,
+                    "role": pdf["role"],
+                    "text": pdf["text"],
+                    "tool": pdf["tool"],
+                    "fp": pdf["fp"],
+                }
+            )
+            fresh = fresh[fresh["ts_us"] // 1000 >= wm]  # deterministic late drop
+            if len(fresh):
+                chunks.append(fresh)
+                last_ts_ms = max(last_ts_ms, int(fresh["ts_us"].max() // 1000))
+        buf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else buf
+
+        ready_mask = (buf["ts_us"] // 1000 + order_slack_ms) <= wm
+        out = None
+        if bool(ready_mask.any()):
+            ready = (
+                buf[ready_mask]
+                .sort_values(["turn_idx", "ts_us"], kind="mergesort")
+                .reset_index(drop=True)
+            )
+            buf = buf[~ready_mask].reset_index(drop=True)
+            # keep-first dedup: drop already-seen fps and intra-flush repeats
+            keep = (~ready["fp"].isin(seen)) & (~ready["fp"].duplicated())
+            emitted = ready[keep.to_numpy()]
+            seen.update(emitted["fp"].tolist())
+            if len(emitted):
+                out = pd.DataFrame(
+                    {
+                        "conv_id": np.repeat(conv_id, len(emitted)),
+                        "turn_idx": emitted["turn_idx"].astype("int32"),
+                        "role": emitted["role"],
+                        "text": emitted["text"],
+                        "tool": emitted["tool"],
+                        "ts": pd.to_datetime(emitted["ts_us"], unit="us"),
+                        "emit_seq": np.arange(
+                            emit_seq, emit_seq + len(emitted), dtype="int64"
+                        ),
+                    }
+                )
+                emit_seq += len(emitted)
+
+        if len(buf) == 0 and state.hasTimedOut and wm >= last_ts_ms + state_ttl_ms:
+            state.remove()
+        else:
+            state.update(
+                (pickle.dumps(buf), pickle.dumps(seen), emit_seq, last_ts_ms)
+            )
+            if len(buf):
+                nxt = int(buf["ts_us"].min() // 1000) + order_slack_ms
+            else:
+                nxt = last_ts_ms + state_ttl_ms
+            state.setTimeoutTimestamp(max(nxt, wm + 1))
+
+        if out is not None:
+            yield out
+
+    return assemble
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds the Catalyst-computed dedup fingerprint column ``fp``."""
+    return df.withColumn("fp", F.expr(fingerprint_sql("spark", text_col)))
+
+
+def ordered_assembly(
+    turns: DataFrame,
+    watermark_delay: str = "10 minutes",
+    order_slack_ms: int = DEFAULT_ORDER_SLACK_MS,
+    state_ttl_ms: int = DEFAULT_STATE_TTL_MS,
+) -> DataFrame:
+    """Streaming stage: watermarked turns → ordered, deduped turns.
+
+    Input columns: conv_id, turn_idx, role, text, tool, ts; an ``fp``
+    column is added here if missing. Output: ASSEMBLED_SCHEMA with
+    ``emit_seq`` (per-conversation emission order).
+    """
+    if "fp" not in turns.columns:
+        turns = with_fingerprint(turns)
+    func = make_assembly_func(order_slack_ms, state_ttl_ms)
+    return (
+        turns.withWatermark("ts", watermark_delay)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            func,
+            outputStructType=ASSEMBLED_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def exact_stream_dedup(
+    df: DataFrame,
+    watermark_delay: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """Built-in global streaming dedup (first *arrival* wins) — Spark's
+    ``dropDuplicates`` with watermark-evicted key state. The keyed,
+    order-deterministic dedup lives in ``ordered_assembly``; this stage
+    is the high-throughput exact variant for corpus-global dedup."""
+    return (
+        df.withColumn("_fp", F.expr(fingerprint_sql("spark", text_col)))
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicates(["_fp"])
+        .drop("_fp")
+    )

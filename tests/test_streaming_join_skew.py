@@ -1,0 +1,140 @@
+"""Stream-stream join (turns ⋈ tool events) and salted two-phase
+windowed aggregation: streaming output must equal the batch plan on the
+same input (Catalyst batch join/agg is the trusted oracle here)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dataflow_mm_lrt_spark.datagen import (
+    GenSpec,
+    append_punctuation_file,
+    generate_tool_events,
+    generate_transcripts,
+)
+from dataflow_mm_lrt_spark.streaming.join import turns_with_tool_events
+from dataflow_mm_lrt_spark.streaming.skew import salted_turn_counts
+from dataflow_mm_lrt_spark.streaming.source import (
+    TOOL_EVENT_SCHEMA,
+    TRANSCRIPT_SCHEMA,
+    tool_event_stream,
+    transcript_stream,
+)
+
+EV_SCHEMA_PA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("tool", pa.string()),
+        ("payload", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def join_ds(tmp_path_factory):
+    d = tmp_path_factory.mktemp("join_ds")
+    tr = generate_transcripts(GenSpec(n_convs=40))
+    ev = generate_tool_events(tr)
+    os.makedirs(d / "transcripts")
+    os.makedirs(d / "tool_events")
+    for name, pdf, schema in (
+        ("transcripts", tr, None),
+        ("tool_events", ev, EV_SCHEMA_PA),
+    ):
+        n_files = 4
+        chunk = (len(pdf) + n_files - 1) // n_files
+        t = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+        for i in range(0, len(pdf), chunk):
+            fp = str(d / name / f"part-{i//chunk:05d}.parquet")
+            pq.write_table(t.slice(i, chunk), fp)
+            os.utime(fp, (1_700_000_000 + i // chunk,) * 2)
+    punct_ts = tr["ts"].max().to_datetime64() + np.timedelta64(30, "D")
+    append_punctuation_file(str(d / "transcripts"), punct_ts)
+    # matching punctuation on the event side so both watermarks advance
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["__punctuation__"],
+            "turn_idx": np.array([0], dtype=np.int32),
+            "tool": ["search"],
+            "payload": ["{}"],
+            "ts": pd.Series([pd.Timestamp(punct_ts)]),
+        }
+    )
+    fp = str(d / "tool_events" / "part-zz-punctuation.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, schema=EV_SCHEMA_PA, preserve_index=False), fp)
+    os.utime(fp, (1_800_000_000,) * 2)
+    return d
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[pdf.conv_id != "__punctuation__"].copy()
+    pdf["tool_payload"] = pdf["tool_payload"].fillna("<null>")
+    cols = ["conv_id", "turn_idx", "ts", "tool_payload"]
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_stream_stream_join_matches_batch(spark, join_ds, tmp_path):
+    d = join_ds
+    # batch oracle: same plan API on static frames
+    bt = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(str(d / "transcripts"))
+    be = spark.read.schema(TOOL_EVENT_SCHEMA).parquet(str(d / "tool_events"))
+    batch = turns_with_tool_events(bt, be).toPandas()
+
+    st = transcript_stream(spark, str(d / "transcripts"), max_files_per_trigger=2)
+    se = tool_event_stream(spark, str(d / "tool_events"), max_files_per_trigger=2)
+    out = turns_with_tool_events(
+        st, se, turn_watermark="72 hours", event_watermark="72 hours"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "join_out"))
+        .option("checkpointLocation", str(tmp_path / "join_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = spark.read.parquet(str(tmp_path / "join_out")).toPandas()
+
+    g, e = _canon(stream), _canon(batch)
+    assert len(g) == len(e), f"{len(g)} vs {len(e)}"
+    for c in g.columns:
+        assert (g[c].to_numpy() == e[c].to_numpy()).all(), c
+
+
+def test_salted_counts_match_batch(spark, join_ds, tmp_path):
+    d = join_ds
+    bt = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(str(d / "transcripts"))
+    batch = (
+        salted_turn_counts(bt, streaming=False)
+        .toPandas()
+    )
+    st = transcript_stream(spark, str(d / "transcripts"), max_files_per_trigger=2)
+    out = salted_turn_counts(st, watermark_delay="72 hours", streaming=True)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "cnt_out"))
+        .option("checkpointLocation", str(tmp_path / "cnt_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = spark.read.parquet(str(tmp_path / "cnt_out")).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[pdf.conv_id != "__punctuation__"]
+        return pdf.sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+
+    g, e = canon(stream), canon(batch)
+    assert len(g) == len(e), f"{len(g)} vs {len(e)}"
+    for c in ["conv_id", "window_start", "n_turns"]:
+        assert (g[c].to_numpy() == e[c].to_numpy()).all(), c
