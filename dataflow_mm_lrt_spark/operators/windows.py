@@ -92,6 +92,39 @@ def session_windows(
     )
 
 
+def transcript_sessions(
+    turns: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """session_window(ts, gap) keyed by conv_id over transcripts — the
+    north-star session stage (works for batch and, with a watermark,
+    streaming append mode). Output: conv_id, session_start (epoch s),
+    n_turns, ordered turn_idx trail."""
+    src = turns
+    if watermark_delay is not None:
+        src = src.withWatermark("ts", watermark_delay)
+    return (
+        src.withColumn(
+            "_t", F.struct(F.col("turn_idx"), F.col("ts"))
+        )
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("conv_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(_t)), "
+                "s -> cast(s.turn_idx as string)), '>')"
+            ).alias("turn_trail"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_turns",
+            "turn_trail",
+        )
+    )
+
+
 def cep_funnel(
     df: DataFrame,
     ts_col: str = "ts",

@@ -110,6 +110,36 @@ def test_stream_stream_join_matches_batch(spark, join_ds, tmp_path):
         assert (g[c].to_numpy() == e[c].to_numpy()).all(), c
 
 
+def test_streaming_session_windows_match_batch(spark, join_ds, tmp_path):
+    from dataflow_mm_lrt_spark.operators.windows import transcript_sessions
+
+    d = join_ds
+    bt = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(str(d / "transcripts"))
+    batch = transcript_sessions(bt).toPandas()
+
+    st = transcript_stream(spark, str(d / "transcripts"), max_files_per_trigger=2)
+    out = transcript_sessions(st, watermark_delay="72 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "sess_out"))
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = spark.read.parquet(str(tmp_path / "sess_out")).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[pdf.conv_id != "__punctuation__"]
+        return pdf.sort_values(["conv_id", "session_start"]).reset_index(drop=True)
+
+    g, e = canon(stream), canon(batch)
+    assert len(g) == len(e), f"{len(g)} vs {len(e)}"
+    for c in ["conv_id", "session_start", "n_turns", "turn_trail"]:
+        assert (g[c].to_numpy() == e[c].to_numpy()).all(), c
+
+
 def test_salted_counts_match_batch(spark, join_ds, tmp_path):
     d = join_ds
     bt = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(str(d / "transcripts"))
