@@ -51,16 +51,18 @@ def sf_from_dir(d: str) -> float:
         return 0.1
 
 
-def transcript_dataset_for(sf: float, n_files: int = 8) -> str:
-    """Deterministic transcript dataset cached per sf (seed 42)."""
+def transcript_dataset_for(sf: float, n_files: int = 8,
+                           arrival: str = "shuffled") -> str:
+    """Deterministic transcript dataset cached per (sf, arrival) (seed 42)."""
     from dataflow_mm_lrt_spark import datagen
 
-    cache = f"/tmp/spark_graft_transcripts_sf{sf}"
+    suffix = "" if arrival == "shuffled" else f"_{arrival}"
+    cache = f"/tmp/spark_graft_transcripts_sf{sf}{suffix}"
     marker = os.path.join(cache, "_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(cache, ignore_errors=True)
         os.makedirs(cache, exist_ok=True)
-        datagen.write_dataset(cache, sf=sf, n_files=n_files)
+        datagen.write_dataset(cache, sf=sf, n_files=n_files, arrival=arrival)
         import numpy as np
 
         # punctuation row drains the stateful stage at the end of the run
@@ -93,8 +95,11 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.time() - t0, 3)
 
-    # streaming throughput (headline metric)
-    ds = transcript_dataset_for(sf)
+    # streaming throughput (headline metric): full-drain of the shuffled
+    # (adversarial arrival order) bounded stream — the same configuration
+    # the correctness contract tests, measured end-to-end incl. the
+    # exactly-once sink
+    ds = transcript_dataset_for(sf, n_files=16, arrival="shuffled")
     in_dir = os.path.join(ds, "transcripts")
     n_turns = spark.read.parquet(in_dir).count()
     out_dir = f"/tmp/spark_graft_bench_out_{os.getpid()}"

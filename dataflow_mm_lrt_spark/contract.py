@@ -253,6 +253,86 @@ FROM documents d
 """
 
 
+def q_dedup_embedding(spark, sf_dir):
+    return dedup.embedding_cosine_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    )
+
+
+def sql_dedup_embedding():
+    return """
+WITH pairs AS (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.label = c.label AND q.vec_id < c.vec_id
+),
+dups AS (
+  SELECT id_b, round(max(cosine), 6) AS max_cosine FROM pairs
+  WHERE cosine >= 0.9 GROUP BY id_b
+)
+SELECT e.vec_id, d.id_b IS NOT NULL AS is_dup,
+       coalesce(d.max_cosine, 0.0) AS max_cosine
+FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.id_b
+"""
+
+
+def q_basic_normalize(spark, sf_dir):
+    from .operators import refine
+
+    return refine.basic_normalize_text(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_norm"
+    )
+
+
+def sql_basic_normalize():
+    return r"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(lower(text), '[<\[][^>\]]*[>\]]', '', 'g'),
+             '\(([^)]+?)\)', '', 'g'),
+           '[^\p{L}\p{N}\s]', ' ', 'g'),
+         '\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
+def q_range_filter(spark, sf_dir):
+    from .operators import refine
+
+    out = refine.range_filter(
+        _t(spark, sf_dir, "events"),
+        {"value": (25.0, 175.0), "user_id": (None, 100), "missing_col": (0, 1)},
+    )
+    return out.select("event_id")
+
+
+def sql_range_filter():
+    return (
+        "SELECT event_id FROM events "
+        "WHERE value >= 25.0 AND value <= 175.0 AND user_id <= 100"
+    )
+
+
+def q_prompt_template(spark, sf_dir):
+    from .operators import refine
+
+    return refine.prompt_template_fill(
+        _t(spark, sf_dir, "documents"),
+        "Summarize the {} document from {}: {}",
+        ["lang", "source", "text"],
+    ).select("doc_id", "prompt")
+
+
+def sql_prompt_template():
+    return (
+        "SELECT doc_id, printf('Summarize the %s document from %s: %s', "
+        "lang, source, text) AS prompt FROM documents"
+    )
+
+
 # ---------------------------------------------------------------------------
 # windows / CEP over `events`
 # ---------------------------------------------------------------------------
@@ -522,6 +602,34 @@ QUALIFY rank <= {KNN_K}
 """
 
 
+def q_knn_uniqueness(spark, sf_dir):
+    return similarity.knn_uniqueness_filter(
+        _t(spark, sf_dir, "embeddings"), k=KNN_K, keep_ratio=0.5
+    )
+
+
+def sql_knn_uniqueness():
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.label = c.label AND q.vec_id <> c.vec_id
+),
+knn AS (
+  SELECT id_a, round(avg(cosine), 6) AS knn_score FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K} GROUP BY id_a
+)
+SELECT id_a AS vec_id, knn_score FROM (
+  SELECT id_a, knn_score,
+         percent_rank() OVER (ORDER BY knn_score ASC, id_a ASC) AS pr
+  FROM knn
+) WHERE pr <= 0.5
+"""
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
@@ -565,8 +673,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
     "top_customers_per_nation": q_top_customers_per_nation,
+    "dedup_embedding_cosine": q_dedup_embedding,
+    "basic_normalize": q_basic_normalize,
+    "range_filter": q_range_filter,
+    "prompt_template_fill": q_prompt_template,
     "knn_brute_cosine": q_knn_brute,
     "ann_ivf_cosine": q_ann_ivf,
+    "knn_uniqueness_filter": q_knn_uniqueness,
     "embedding_norms": q_embedding_norms,
 }
 
@@ -590,8 +703,13 @@ ORACLES: dict[str, str] = {
     "pricing_summary": sql_pricing_summary(),
     "top_revenue_orders": sql_top_revenue_orders(),
     "top_customers_per_nation": sql_top_customers_per_nation(),
+    "dedup_embedding_cosine": sql_dedup_embedding(),
+    "basic_normalize": sql_basic_normalize(),
+    "range_filter": sql_range_filter(),
+    "prompt_template_fill": sql_prompt_template(),
     "knn_brute_cosine": sql_knn_brute(),
     "ann_ivf_cosine": sql_ann_ivf(),
+    "knn_uniqueness_filter": sql_knn_uniqueness(),
     "embedding_norms": sql_embedding_norms(),
 }
 

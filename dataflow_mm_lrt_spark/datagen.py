@@ -196,12 +196,20 @@ def spec_for_sf(sf: float) -> GenSpec:
 
 
 def write_dataset(out_dir: str, sf: float = 0.001, seed: int = SEED,
-                  n_files: int = 8) -> dict[str, str]:
+                  n_files: int = 8, arrival: str = "shuffled") -> dict[str, str]:
     """Materialize transcripts + tool_events as multi-file parquet datasets
-    (multiple files so a file-based stream source has real micro-batches)."""
+    (multiple files so a file-based stream source has real micro-batches).
+
+    ``arrival``: 'shuffled' (adversarial, default — global random arrival
+    order, exercises the reordering contract) or 'sorted' (event-time
+    order — the steady-state shape of a real stream, where the watermark
+    advances continuously and state stays bounded)."""
     spec = spec_for_sf(sf)
     tr = generate_transcripts(spec, seed)
     ev = generate_tool_events(tr, seed)
+    if arrival == "sorted":
+        tr = tr.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        ev = ev.sort_values("ts", kind="mergesort").reset_index(drop=True)
     paths = {}
     for name, df in (("transcripts", tr), ("tool_events", ev)):
         d = os.path.join(out_dir, name)

@@ -12,7 +12,18 @@ reference's ``OPERATOR_REGISTRY`` decorator/lazy-import machinery
 
 from __future__ import annotations
 
-from . import assembly, chunk, dedup, ranking, similarity, text, windows  # noqa: F401
+from . import (  # noqa: F401
+    assembly,
+    chunk,
+    dedup,
+    mcts,
+    multimodal,
+    ranking,
+    refine,
+    similarity,
+    text,
+    windows,
+)
 
 STAGES = {
     # text cleaning / filtering (§2.2)
@@ -38,7 +49,19 @@ STAGES = {
     "tumbling_counts": windows.tumbling_counts,
     "sliding_counts": windows.sliding_counts,
     "session_windows": windows.session_windows,
+    # windows / CEP (cont.)
+    "transcript_sessions": windows.transcript_sessions,
+    "cep_funnel": windows.cep_funnel,
+    # refiners / evaluators (§2.2, §2.7, §2.8)
+    "functional_refiner": refine.functional_refiner,
+    "prompt_template_fill": refine.prompt_template_fill,
+    "range_filter": refine.range_filter,
+    "answer_eval": refine.answer_eval,
+    "basic_normalize_text": refine.basic_normalize_text,
+    "mcts_tree_refiner": mcts.mcts_tree_refiner,
     # similarity search
     "knn_brute_cosine": similarity.knn_brute_cosine,
     "ann_ivf_cosine": similarity.ann_ivf_cosine,
+    # multimodal plumbing
+    "extract_media_features": multimodal.extract_features,
 }

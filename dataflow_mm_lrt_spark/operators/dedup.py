@@ -176,6 +176,54 @@ def ngram_jaccard(
     )
 
 
+def embedding_cosine_near_dup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup marking (the ImageDeduplicateFilter semantics,
+    image_deduplication_filter.py:122-157: all-pairs cosine ≥ τ marks the
+    later id as duplicate, keep first), restricted to a coarse cell
+    (IVF-style) so the pair space is per-cell instead of corpus-wide —
+    the layout that scales. Returns (id_col, is_dup, max_cosine)."""
+    l = df.select(
+        F.col(id_col).alias("id_a"), F.col(cell_col).alias("cell"),
+        F.col("embedding"),
+    ).alias("q")
+    r = df.select(
+        F.col(id_col).alias("id_b"), F.col(cell_col).alias("cell"),
+        F.col("embedding"),
+    ).alias("c")
+    cos = (
+        "round(aggregate(zip_with(q.embedding, c.embedding, (x, y) -> cast(x as double) * cast(y as double)), "
+        "0d, (acc, v) -> acc + v) / "
+        "(sqrt(aggregate(q.embedding, 0d, (acc, v) -> acc + cast(v as double) * cast(v as double))) * "
+        "sqrt(aggregate(c.embedding, 0d, (acc, v) -> acc + cast(v as double) * cast(v as double)))), 6)"
+    )
+    pairs = (
+        l.join(r, (F.col("q.cell") == F.col("c.cell"))
+               & (F.col("q.id_a") < F.col("c.id_b")))
+        .select("id_a", "id_b", F.expr(cos).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    dups = (
+        pairs.groupBy("id_b")
+        .agg(F.round(F.max("cosine"), 6).alias("max_cosine"))
+        .withColumn("is_dup", F.lit(True))
+        .withColumnRenamed("id_b", id_col)
+    )
+    return (
+        df.select(id_col)
+        .join(dups, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            F.coalesce("max_cosine", F.lit(0.0)).alias("max_cosine"),
+        )
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str = "text",

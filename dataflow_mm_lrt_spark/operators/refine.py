@@ -1,0 +1,143 @@
+"""Refiner / generic-projection operators (SURVEY.md §2.2, §2.7, §2.8).
+
+* ``functional_refiner`` — the reference's generic row-fn glue operator
+  (core_text/refine/functional_refiner.py:47-66: ``df[output] =
+  f(**row-mapped kwargs)``, non-column kwargs pass through as constants)
+  re-expressed as an Arrow-batched pandas UDF (the reference's per-row
+  ``df.apply(axis=1)`` becomes one vectorized call per batch).
+* ``prompt_template_fill`` — PromptTemplatedQAGenerator's template step
+  (prompt_templated_qa_generator.py:115-121) as native ``format_string``
+  (the model call itself is serving-bound and out of scope; this is the
+  deterministic projection the engine owns).
+* ``range_filter`` — VideoScoreFilter's multi-criteria range predicate
+  (video_score_filter.py:160-286) incl. the schema-tolerant behavior:
+  a criterion whose column is missing is skipped unless strict
+  (video_score_filter.py:183,196).
+* ``answer_eval`` — GeneralTextAnswerEvaluator
+  (general_text_answer_evaluator.py:102-150) as a vectorized pandas UDF
+  over (solution, model_output, question_type); LLM-free metric subset.
+* ``basic_normalize_text`` — the BasicTextNormalizer-equivalent cleanup
+  used by TextNormalizer for non-en/zh languages
+  (audio_text_normalizer.py:20-44): lowercase, drop bracketed spans,
+  strip symbol characters, collapse whitespace. Native Catalyst.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, DoubleType
+
+
+def functional_refiner(
+    df: DataFrame,
+    func: Callable[..., object],
+    input_map: dict[str, str | object],
+    output_col: str,
+    output_type: DataType,
+    vectorized: bool = False,
+) -> DataFrame:
+    """``df[output] = func(**kwargs)`` where kwargs values naming columns
+    bind the column, anything else passes through as a constant
+    (functional_refiner.py:58-62). ``vectorized=True`` expects ``func``
+    to accept/return pd.Series; otherwise it is mapped element-wise
+    inside the Arrow batch."""
+    cols = [v for v in input_map.values() if isinstance(v, str) and v in df.columns]
+    consts = {k: v for k, v in input_map.items()
+              if not (isinstance(v, str) and v in df.columns)}
+    col_keys = [k for k, v in input_map.items()
+                if isinstance(v, str) and v in df.columns]
+
+    @F.pandas_udf(output_type)
+    def _apply(*series: pd.Series) -> pd.Series:
+        kwargs = dict(zip(col_keys, series))
+        if vectorized:
+            return func(**kwargs, **consts)
+        frame = pd.DataFrame(kwargs)
+        return frame.apply(
+            lambda row: func(**row.to_dict(), **consts), axis=1
+        )
+
+    return df.withColumn(output_col, _apply(*[F.col(c) for c in cols]))
+
+
+def prompt_template_fill(
+    df: DataFrame,
+    template: str,
+    field_cols: list[str],
+    output_col: str = "prompt",
+) -> DataFrame:
+    """Fill ``{}``-style template slots from columns, JVM-side."""
+    fmt = template.replace("{}", "%s")
+    return df.withColumn(
+        output_col, F.format_string(fmt, *[F.col(c) for c in field_cols])
+    )
+
+
+def range_filter(
+    df: DataFrame,
+    criteria: dict[str, tuple[float | None, float | None]],
+    strict: bool = False,
+) -> DataFrame:
+    """AND of per-column [lo, hi] range predicates. Missing columns are
+    skipped unless strict (then: error), mirroring
+    VideoScoreFilter(strict_mode)."""
+    preds = []
+    for col, (lo, hi) in criteria.items():
+        if col not in df.columns:
+            if strict:
+                raise ValueError(f"range_filter: missing column {col!r}")
+            continue
+        p = F.lit(True)
+        if lo is not None:
+            p = p & (F.col(col) >= lo)
+        if hi is not None:
+            p = p & (F.col(col) <= hi)
+        preds.append(p)
+    if not preds:
+        return df
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return df.filter(out)
+
+
+def answer_eval(
+    df: DataFrame,
+    solution_col: str = "solution",
+    output_col: str = "model_output",
+    qtype_col: str = "problem_type",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Per-row reward by question type (multiple choice / numerical /
+    OCR-WER / regression), Arrow-batched; dispatch + tag extraction follow
+    general_text_answer_evaluator.py:102-150 via the tested port."""
+    from ..oracle.reference_port import calculate_reward
+
+    @F.pandas_udf(DoubleType())
+    def _reward(sol: pd.Series, out: pd.Series, qt: pd.Series) -> pd.Series:
+        frame = pd.DataFrame({"s": sol, "o": out, "q": qt})
+        return frame.apply(
+            lambda r: calculate_reward(r["s"] or "", r["o"] or "", r["q"] or ""),
+            axis=1,
+        )
+
+    return df.withColumn(
+        reward_col, _reward(F.col(solution_col), F.col(output_col), F.col(qtype_col))
+    )
+
+
+def basic_normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """BasicTextNormalizer-equivalent: lowercase → remove [(...)]/[...]
+    spans → non-word symbols to space → collapse whitespace → trim."""
+    e = f"lower({text_col})"
+    e = f"regexp_replace({e}, '[<\\\\[][^>\\\\]]*[>\\\\]]', '')"
+    e = f"regexp_replace({e}, '\\\\(([^)]+?)\\\\)', '')"
+    e = f"regexp_replace({e}, '[^\\\\p{{L}}\\\\p{{N}}\\\\s]', ' ')"
+    e = f"trim(regexp_replace({e}, '\\\\s+', ' '))"
+    return df.withColumn(out_col, F.expr(e))

@@ -65,6 +65,52 @@ def knn_brute_cosine(
     )
 
 
+def knn_uniqueness_filter(
+    embeddings: DataFrame,
+    k: int = 5,
+    keep_ratio: float = 0.5,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+) -> DataFrame:
+    """KNNSimilarityFilter semantics (knn_similarity_filter.py:143-197):
+    score every row by its mean cosine to its k nearest neighbors, keep
+    the most-unique (lowest-scoring) ``keep_ratio`` fraction.
+
+    Scale path: neighbors restricted to the coarse cell (IVF layout) so
+    scoring is a per-cell equi-join; the keep-fraction is a single
+    percent_rank over the scored set. Output: (id_col, knn_score)."""
+    l = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(cell_col).alias("cell"), "embedding"
+    ).alias("q")
+    r = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(cell_col).alias("cell"), "embedding"
+    ).alias("c")
+    scored = (
+        l.join(r, (F.col("q.cell") == F.col("c.cell"))
+               & (F.col("q.id_a") != F.col("c.id_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(COSINE_EXPR).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    knn = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("id_a")
+        .agg(F.round(F.avg("cosine"), 6).alias("knn_score"))
+    )
+    keep_w = Window.orderBy(F.col("knn_score").asc(), F.col("id_a").asc())
+    return (
+        knn.withColumn("_pr", F.percent_rank().over(keep_w))
+        .filter(F.col("_pr") <= keep_ratio)
+        .select(F.col("id_a").alias(id_col), "knn_score")
+    )
+
+
 def ann_ivf_cosine(
     embeddings: DataFrame,
     queries: DataFrame,

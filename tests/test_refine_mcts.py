@@ -1,0 +1,118 @@
+"""Refiner / evaluator / MCTS operator tests."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql.types import DoubleType
+
+from dataflow_mm_lrt_spark.operators import mcts, refine
+from dataflow_mm_lrt_spark.oracle import reference_port as ref
+
+
+def test_functional_refiner_constant_and_column(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [1.0, 2.0], "b": [10.0, 20.0]}))
+    out = refine.functional_refiner(
+        df,
+        func=lambda x, y, scale: (x + y) * scale,
+        input_map={"x": "a", "y": "b", "scale": 2.0},
+        output_col="z",
+        output_type=DoubleType(),
+    ).toPandas()
+    assert sorted(out["z"]) == [22.0, 44.0]
+
+
+def test_prompt_template_fill(spark):
+    df = spark.createDataFrame(pd.DataFrame({"q": ["what", "why"], "c": ["a", "b"]}))
+    out = refine.prompt_template_fill(
+        df, "Q: {} C: {}", ["q", "c"], "prompt"
+    ).toPandas()
+    assert set(out["prompt"]) == {"Q: what C: a", "Q: why C: b"}
+
+
+def test_range_filter_schema_tolerant(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"fps": [10.0, 30.0, 60.0], "blur": [0.1, 0.5, 0.9]})
+    )
+    out = refine.range_filter(
+        df, {"fps": (20, 50), "blur": (None, 0.8), "missing_col": (0, 1)}
+    ).toPandas()
+    assert len(out) == 1 and out.iloc[0]["fps"] == 30.0
+    try:
+        refine.range_filter(df, {"missing_col": (0, 1)}, strict=True)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_answer_eval_matches_port(spark):
+    rows = pd.DataFrame(
+        {
+            "solution": ["<answer>B</answer>", "<answer>3.14</answer>",
+                          "<answer>a b c d</answer>", "<answer>10</answer>"],
+            "model_output": ["<answer>B</answer>", "<answer>3.15</answer>",
+                              "<answer>a b x d</answer>", "<answer>11</answer>"],
+            "problem_type": ["multiple choice", "numerical", "OCR", "regression"],
+        }
+    )
+    out = (
+        refine.answer_eval(spark.createDataFrame(rows))
+        .toPandas()
+        .sort_values("problem_type")
+    )
+    exp = [
+        ref.calculate_reward(s, o, q)
+        for s, o, q in zip(rows.solution, rows.model_output, rows.problem_type)
+    ]
+    got = (
+        refine.answer_eval(spark.createDataFrame(rows)).toPandas()["reward"].tolist()
+    )
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, exp))
+
+
+def test_basic_normalize(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["Hello, (aside) [TAG] World!!  Multi   space"]})
+    )
+    out = refine.basic_normalize_text(df).toPandas()
+    assert out.iloc[0]["text_norm"] == "hello world multi space"
+
+
+def _tree():
+    return {
+        "rollouts": [
+            {"reward": 1.0, "ephemeral_texts": ["<think>step ok</think>", "<answer>42</answer>"]},
+            {"reward": 0.0, "ephemeral_texts": ["<think>bad step</think>", "<answer>7</answer>"]},
+        ],
+        "is_terminal": False,
+        "children": [
+            {
+                "rollouts": [
+                    {"reward": 1.0, "ephemeral_texts": ["deep", "<answer>x</answer>"]}
+                ],
+                "is_terminal": True,
+                "children": [],
+            }
+        ],
+    }
+
+
+def test_mcts_chains_match_reference_recursion(spark):
+    tree_json = json.dumps(_tree())
+    expected = mcts.build_chains(_tree())
+    # wrong→backtrack→correct chain + direct-correct + child direct
+    assert len(expected) == 3
+    assert any("Wait, this seems off" in c for c in expected)
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "tree": [tree_json]}))
+    got = mcts.mcts_tree_refiner(df).toPandas().iloc[0]["chains"]
+    assert list(got) == list(dict.fromkeys(expected))
+
+
+def test_mcts_handles_garbage(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "tree": ["not json", None]})
+    )
+    got = mcts.mcts_tree_refiner(df).toPandas()
+    assert all(len(c) == 0 for c in got["chains"])
