@@ -70,22 +70,25 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         {"conv_id": [f"c{i%50:03d}" for i in range(500)], "v": range(500)}
     )
     df = spark.createDataFrame(pdf)
-    spark.sql("DROP TABLE IF EXISTS t_a")
-    spark.sql("DROP TABLE IF EXISTS t_b")
+    # unique names: a stale spark-warehouse dir from a crashed run would
+    # otherwise collide on the table LOCATION
+    import uuid
+
+    ta, tb = (f"t_{uuid.uuid4().hex[:8]}_a", f"t_{uuid.uuid4().hex[:8]}_b")
     (df.write.bucketBy(8, "conv_id").sortBy("conv_id").mode("overwrite")
-       .saveAsTable("t_a"))
+       .saveAsTable(ta))
     (df.write.bucketBy(8, "conv_id").sortBy("conv_id").mode("overwrite")
-       .saveAsTable("t_b"))
+       .saveAsTable(tb))
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         # force the sort-merge path (tiny test tables would broadcast);
         # with aligned buckets there must be NO shuffle exchange
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("t_a").join(spark.table("t_b"), "conv_id")
+        joined = spark.table(ta).join(spark.table(tb), "conv_id")
         plan = _plan(joined)
         assert "SortMergeJoin" in plan, plan
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS t_a")
-        spark.sql("DROP TABLE IF EXISTS t_b")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
