@@ -124,7 +124,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(int(sys.argv[2]), float(sys.argv[3]))
         return
-    sf = 1.6
+    sf = 0.8
     if "--sf" in sys.argv:
         sf = float(sys.argv[sys.argv.index("--sf") + 1])
 

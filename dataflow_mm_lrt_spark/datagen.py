@@ -72,11 +72,13 @@ class GenSpec:
 
 
 def _clean_sentence(rng: np.random.Generator, n: int) -> np.ndarray:
-    """n deterministic clean sentences (vectorized word sampling)."""
-    words = rng.choice(_CLEAN_WORDS, size=(n, 12))
-    first = np.char.capitalize(words[:, 0].astype(str))
-    rest = [" ".join(r) for r in words[:, 1:].astype(str)]
-    return np.array([f"{f} {r}." for f, r in zip(first, rest)])
+    """n deterministic clean sentences (fully vectorized — identical
+    strings to the join-based form, byte for byte)."""
+    words = rng.choice(_CLEAN_WORDS, size=(n, 12)).astype(str)
+    out = np.char.capitalize(words[:, 0])
+    for j in range(1, words.shape[1]):
+        out = np.char.add(np.char.add(out, " "), words[:, j])
+    return np.char.add(out, ".")
 
 
 def generate_transcripts(spec: GenSpec = GenSpec(), seed: int = SEED) -> pd.DataFrame:
