@@ -27,6 +27,16 @@ from ..functions.hashing import md5_int_sql, minhash_coeffs, perm_hash_sql, shin
 from ..functions.normalize import fingerprint_sql
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """CPU-heavy hashing over a small file count would otherwise run in
+    as few tasks as there are input splits — spread to the cluster's
+    parallelism first (no-op at real scale where splits >> cores)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def exact_keep_first(
     df: DataFrame,
     text_col: str = "text",
@@ -83,7 +93,7 @@ def minhash_lsh(
     Returns (id_col, is_dup boolean).
     """
     rows_per_band = num_perm // bands
-    sig_df = with_minhash_signature(df, text_col, num_perm, shingle_n).select(
+    sig_df = with_minhash_signature(_spread(df), text_col, num_perm, shingle_n).select(
         F.col(id_col), "sig"
     )
     band_exprs = [
@@ -111,11 +121,16 @@ def minhash_lsh(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            F.expr(
-                "size(filter(zip_with(l.sig, r.sig, (x, y) -> x = y), b -> b)) * 1e0 / size(l.sig)"
-            ).alias("est_jaccard"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "est_jaccard",
+            F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) * 1e0 / size(sig_a)"
+            ),
+        )
         .filter(F.col("est_jaccard") >= jaccard_threshold)
     )
     dups = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
@@ -141,7 +156,7 @@ def ngram_jaccard(
     later id of every pair ≥ threshold (keep-first). Returns
     (id_col, is_dup)."""
     sh = shingles_sql("spark", text_col, shingle_n)
-    base = df.select(id_col, F.expr(sh).alias("shingles")).withColumn(
+    base = _spread(df).select(id_col, F.expr(sh).alias("shingles")).withColumn(
         "n_sh", F.size("shingles")
     )
     inv = base.select(id_col, "n_sh", F.explode("shingles").alias("shingle"))
@@ -248,7 +263,7 @@ def simhash_near_dup(
         f"acc + IF(size(filter(th, v -> (v >> i) % 2 = 1)) * 2 > size(th), "
         f"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
     )
-    base = df.select(id_col, F.expr(hashes).alias("th")).select(
+    base = _spread(df).select(id_col, F.expr(hashes).alias("th")).select(
         id_col, F.expr(sim_expr).alias("simhash")
     )
     chunk = 12
