@@ -29,6 +29,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_FILES = 32
 
 
+def _double_dataset(src_dir: str, dst_dir: str) -> None:
+    """Double a transcript dataset deterministically: the original files
+    plus a conv-id-remapped copy (convB…), interleaved by mtime — twice
+    the concurrent conversations over the same event-time span, which is
+    exactly how doubled cluster load looks."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst_dir, exist_ok=True)
+    base_mtime = 1_700_000_000
+    files = sorted(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+    for i, fn in enumerate(files):
+        t = pq.read_table(os.path.join(src_dir, fn))
+        a = os.path.join(dst_dir, f"part-{2*i:05d}-a.parquet")
+        pq.write_table(t, a)
+        os.utime(a, (base_mtime + 2 * i,) * 2)
+        remapped = t.set_column(
+            t.schema.get_field_index("conv_id"),
+            "conv_id",
+            pc.replace_substring_regex(t.column("conv_id"), "^conv", "xonv"),
+        )
+        b = os.path.join(dst_dir, f"part-{2*i:05d}-b.parquet")
+        pq.write_table(remapped, b)
+        os.utime(b, (base_mtime + 2 * i + 1,) * 2)
+
+
 def scaling_dataset(sf: float) -> str:
     """Bounded-replay drain: globally shuffled arrival (the adversarial
     reordering case the correctness contract tests), drained availableNow
@@ -41,11 +67,17 @@ def scaling_dataset(sf: float) -> str:
     cache = f"/tmp/spark_graft_scalebench_shuffled_sf{sf}"
     marker = os.path.join(cache, "_COMPLETE")
     if not os.path.exists(marker):
-        shutil.rmtree(cache, ignore_errors=True)
-        os.makedirs(cache, exist_ok=True)
-        datagen.write_dataset(cache, sf=sf, n_files=N_FILES, arrival="shuffled")
         import numpy as np
 
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        if sf > 0.81:
+            # doubling beats regeneration: whole-corpus numpy generation
+            # blows up on UTF-32 intermediate arrays beyond ~10M rows
+            inner = scaling_dataset(sf / 2)
+            _double_dataset(inner, os.path.join(cache, "transcripts"))
+        else:
+            datagen.write_dataset(cache, sf=sf, n_files=N_FILES, arrival="shuffled")
         datagen.append_punctuation_file(
             os.path.join(cache, "transcripts"),
             np.datetime64("2026-01-01T00:00:00"),

@@ -59,6 +59,7 @@ STAGES = {
     "answer_eval": refine.answer_eval,
     "basic_normalize_text": refine.basic_normalize_text,
     "mcts_tree_refiner": mcts.mcts_tree_refiner,
+    "wiki_qa_refiner": refine.wiki_qa_refiner,
     # similarity search
     "knn_brute_cosine": similarity.knn_brute_cosine,
     "ann_ivf_cosine": similarity.ann_ivf_cosine,

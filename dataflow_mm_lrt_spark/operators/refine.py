@@ -141,3 +141,49 @@ def basic_normalize_text(
     e = f"regexp_replace({e}, '[^\\\\p{{L}}\\\\p{{N}}\\\\s]', ' ')"
     e = f"trim(regexp_replace({e}, '\\\\s+', ' '))"
     return df.withColumn(out_col, F.expr(e))
+
+
+def wiki_qa_refiner(
+    df: DataFrame,
+    text_col: str = "text",
+    output_col: str = "wiki_qa",
+) -> DataFrame:
+    """WikiQARefiner (wiki_qa_refiner.py:22-79): tolerant parse of
+    'Wikipedia article + QA' text into a typed struct
+    {context string, qas array<struct<question,answer>>}, via the tested
+    reference port inside an Arrow-batched pandas UDF."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    from ..oracle.reference_port import parse_wiki_qa
+
+    schema = StructType(
+        [
+            StructField("context", StringType()),
+            StructField(
+                "qas",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("question", StringType()),
+                            StructField("answer", StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _parse(texts: pd.Series) -> pd.DataFrame:
+        parsed = [parse_wiki_qa(t) for t in texts]
+        return pd.DataFrame(
+            {
+                "context": [p["context"] for p in parsed],
+                "qas": [
+                    [(qa["question"], qa["answer"]) for qa in p["qas"]]
+                    for p in parsed
+                ],
+            }
+        )
+
+    return df.withColumn(output_col, _parse(F.col(text_col)))

@@ -269,3 +269,64 @@ def calculate_reward(gt_solution: str, model_output: str, question_type: str) ->
         rel = min(1.0, max(0.0, (abs(o - g) + 1e-9) / (abs(g) + 1e-9)))
         return 1 - rel
     return 0.0
+
+
+# ---------------------------------------------------------------------------
+# WikiQARefiner.parse_wiki_qa — wiki_qa_refiner.py:8-79
+# ---------------------------------------------------------------------------
+
+
+def _normalize_whitespace(s: str) -> str:
+    return re.sub(r"\s+", " ", s or "").strip()
+
+
+def _clean_markdown_markers(s: str) -> str:
+    if not s:
+        return ""
+    return re.sub(r"\*+", "", s).strip()
+
+
+def parse_wiki_qa(text: str) -> dict:
+    """Tolerant parse of 'Wikipedia article + QA' text into
+    {context, qas} (wiki_qa_refiner.py:22-79, branch for branch)."""
+    if not isinstance(text, str) or not text.strip():
+        return {"context": "", "qas": []}
+
+    split_pattern = re.compile(
+        r"(?i)(?:\n|^)\s*(?:###|\*\*|---)?\s*"
+        r"(?:Question[-–—\s]*Answer\s*Pairs|Q&A|QA|Questions?)\s*(?::|\*\*|---)?",
+    )
+    match_split = split_pattern.search(text)
+    if match_split:
+        raw_context = text[: match_split.start()]
+        raw_qa_section = text[match_split.end():]
+    else:
+        fallback = re.search(r"(?i)(?:\n|^)\s*(?:-\s*)?(?:Question|Q)\s*[:：]", text)
+        if fallback:
+            raw_context = text[: fallback.start()]
+            raw_qa_section = text[fallback.start():]
+        else:
+            return {"context": _normalize_whitespace(text), "qas": []}
+
+    context_clean = re.sub(
+        r"(?i)^\s*(?:###\s*)?(?:Wikipedia\s+)?Article\s*:?", "", raw_context
+    ).strip()
+    context_clean = re.sub(r"\s*---+\s*$", "", context_clean)
+    context_clean = _normalize_whitespace(context_clean)
+
+    qas = []
+    qa_blocks = re.split(
+        r"(?m)^\s*(?:\d+[\.\)]|[-•*]\s*)?(?:Question|Q)\s*[:：]?", raw_qa_section
+    )
+    for block in qa_blocks:
+        if not block.strip():
+            continue
+        ans_match = re.search(
+            r"(?i)(?:\n|^|\s+)(?:-\s*)?(?:Answer|A)\s*[:：]\s*(.*)", block, re.DOTALL
+        )
+        if ans_match:
+            q = _normalize_whitespace(_clean_markdown_markers(block[: ans_match.start()]))
+            a = _normalize_whitespace(_clean_markdown_markers(ans_match.group(1)))
+            if q and a:
+                qas.append({"question": q, "answer": a})
+    return {"context": context_clean, "qas": qas}

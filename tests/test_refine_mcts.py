@@ -116,3 +116,26 @@ def test_mcts_handles_garbage(spark):
     )
     got = mcts.mcts_tree_refiner(df).toPandas()
     assert all(len(c) == 0 for c in got["chains"])
+
+
+def test_wiki_qa_refiner_matches_port(spark):
+    from dataflow_mm_lrt_spark.oracle.reference_port import parse_wiki_qa
+
+    texts = [
+        "Wikipedia Article: The sky is blue.\n---\nQuestion Answer Pairs:\n"
+        "1. Question: What color is the sky?\n   Answer: **Blue**\n"
+        "2. Q: Why?\n   A: Rayleigh scattering",
+        "no qa markers here at all",
+        "",
+        "### Article: X.\nQ&A\n- Question: a?\n- Answer: b",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    got = refine.wiki_qa_refiner(df).toPandas().sort_values("doc_id")
+    for t, row in zip(texts, got.itertuples(index=False)):
+        exp = parse_wiki_qa(t)
+        assert row.wiki_qa["context"] == exp["context"], t
+        got_qas = [
+            {"question": qa["question"], "answer": qa["answer"]}
+            for qa in row.wiki_qa["qas"]
+        ]
+        assert got_qas == exp["qas"], t
