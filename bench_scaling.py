@@ -8,7 +8,8 @@ same job on identical input at local[8] vs local[32]
 process (one JVM per process). A warm-up drain first compiles the
 codegen/JIT paths so the timed window measures *throughput*, not
 first-run compilation (which is identical at both levels and would just
-dilute the ratio). Results land in BENCH/BASELINE.md.
+dilute the ratio). Raw results land in BENCH/BASELINE_auto.md;
+the curated analysis lives in BENCH/BASELINE.md.
 
 Usage: python bench_scaling.py [--sf 0.2]
 Child mode: python bench_scaling.py --child <cpus> <sf>  → one JSON line
@@ -184,7 +185,7 @@ def main() -> None:
     batch_eff = batch_speedup / 4
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/BASELINE_auto.md", "w") as f:
         f.write(
             f"""# BENCH — measured throughput & scaling (sandbox evidence)
 
