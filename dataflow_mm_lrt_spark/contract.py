@@ -41,7 +41,25 @@ QUERY_MOD = 50  # embeddings with vec_id % 50 == 0 are the query set
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Session-agnostic table read.
+
+    The testdata parquet stores untagged ``timestamp[us]``; under a
+    default Spark 4.1.2 session (``inferTimestampNTZ=true``) it reads as
+    TIMESTAMP_NTZ, whose cast to BIGINT is illegal and whose window
+    bucketing is local-time. Normalize here: pin the session timezone to
+    UTC (runtime-settable) and cast NTZ columns to TIMESTAMP so every
+    downstream epoch extraction equals DuckDB ``epoch()`` of the naive
+    value. No-op under the engine's own session (session.py reads the
+    same micros as UTC instants already).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    ntz_cols = [
+        f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 # ---------------------------------------------------------------------------

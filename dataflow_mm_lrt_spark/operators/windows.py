@@ -31,7 +31,7 @@ def tumbling_counts(
             F.round(F.sum(value_col), 6).alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
             key_col,
             "n_events",
             "sum_value",
@@ -51,7 +51,7 @@ def sliding_counts(
         df.groupBy(F.window(ts_col, duration, slide).alias("w"), F.col(key_col))
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.col("w.start").cast("long").alias("window_start"),
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start"),
             key_col,
             "n_events",
         )
@@ -85,7 +85,7 @@ def session_windows(
         )
         .select(
             F.col(key_col),
-            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.start").cast("timestamp").cast("long").alias("session_start"),
             "n_events",
             "trail",
         )
@@ -118,7 +118,7 @@ def transcript_sessions(
         )
         .select(
             "conv_id",
-            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.start").cast("timestamp").cast("long").alias("session_start"),
             "n_turns",
             "turn_trail",
         )
@@ -152,13 +152,14 @@ def cep_funnel(
             (F.col("event_type") == first_event)
             & (F.col("next_type") == second_event)
             & (
-                F.col("next_ts").cast("long") - F.col(ts_col).cast("long")
+                F.col("next_ts").cast("timestamp").cast("long")
+                - F.col(ts_col).cast("timestamp").cast("long")
                 <= F.lit(within_seconds)
             )
         )
         .select(
             key_col,
-            F.col(ts_col).cast("long").alias("first_ts"),
-            F.col("next_ts").cast("long").alias("second_ts"),
+            F.col(ts_col).cast("timestamp").cast("long").alias("first_ts"),
+            F.col("next_ts").cast("timestamp").cast("long").alias("second_ts"),
         )
     )

@@ -44,7 +44,7 @@ def salted_turn_counts(
         .agg(F.sum("partial_n").alias("n_turns"))
         .select(
             "conv_id",
-            F.col("w2.start").cast("long").alias("window_start"),
+            F.col("w2.start").cast("timestamp").cast("long").alias("window_start"),
             "n_turns",
         )
     )
