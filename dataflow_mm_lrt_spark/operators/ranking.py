@@ -6,13 +6,14 @@ Shapes taken from the reference:
   score (clipscore_filter.py:16, knn_similarity_filter.py:143-197).
 * DataTailorFilter top-n (datatailor_filter.py:370-372).
 
-Scale notes: percent_rank over a single global ordering is a full sort —
-for the keep-ratio shape we use it per-partition-key when a key exists
-or accept one sort-merge pass otherwise (same cost class as the
-reference's global argsort, but distributed).
+Scale notes: the keep-ratio shape is an exact distributed selection
+(quantile bands + boundary-band ranking) — no row ever passes through a
+single-task global sort; see ``keep_top_fraction``.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -41,18 +42,81 @@ def keep_top_fraction(
     keep_ratio: float = 0.8,
     ascending: bool = False,
     tie_col: str | None = None,
+    n_buckets: int = 256,
+    persist: bool = True,
 ) -> DataFrame:
-    """Keep the best ``keep_ratio`` fraction by score (strictly:
-    percent_rank ≤ keep_ratio under a deterministic total order)."""
+    """Keep the best ``keep_ratio`` fraction by score — value-identical to
+    ``percent_rank ≤ keep_ratio`` under the (score, tie) order, but
+    computed as an exact distributed selection instead of a global
+    single-task window sort (the round-1 scale-killer):
+
+    1. ``approxQuantile`` splits the score range into ~``n_buckets``
+       bands; one tiny aggregate gives exact per-band counts, locating
+       the band that contains global rank k = ⌊ratio·(n−1)⌋+1.
+    2. Bands strictly better than the boundary band are kept wholesale
+       (a pushed-down filter, no sort); only the boundary band
+       (~n/n_buckets rows) is ranked exactly in one keyed window task.
+
+    Tie semantics match percent_rank: without ``tie_col`` ties share a
+    rank and are kept or dropped together. Scores must be non-null.
+    Degenerate distributions (all scores equal) collapse to one band —
+    the same cost class as the global sort they'd need anyway.
+
+    The selection makes several passes over ``df`` (count, quantile,
+    band counts, final filter), so ``persist=True`` (default) caches it
+    MEMORY_AND_DISK — essential when ``df`` is itself an expensive plan
+    (e.g. a knn-scoring join); pass False if the caller manages caching.
+    """
+    if persist:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    n = df.count()
+    if n <= 1:
+        return df
+    k = int(math.floor(keep_ratio * (n - 1) + 1e-9)) + 1
+    if k >= n:
+        return df
+
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(score_col, probs, 0.001)))
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        # band id = #boundaries strictly below the score: equal scores
+        # always land in the same band, so ties never straddle bands
+        band = F.size(
+            F.filter(arr, lambda b: b < F.col(score_col).cast("double"))
+        )
+    else:
+        band = F.lit(0)
+    banded = df.withColumn("_kb", band)
+
+    counts = {r["_kb"]: r["cnt"] for r in
+              banded.groupBy("_kb").agg(F.count("*").alias("cnt")).collect()}
+    order_ids = sorted(counts, reverse=not ascending)
+    cum = 0
+    boundary_band, rank_before = order_ids[-1], 0
+    for b in order_ids:
+        if cum + counts[b] >= k:
+            boundary_band, rank_before = b, cum
+            break
+        cum += counts[b]
+
     order = [F.col(score_col).asc() if ascending else F.col(score_col).desc()]
     if tie_col:
         order.append(F.col(tie_col).asc())
-    w = Window.orderBy(*order)
-    return (
-        df.withColumn("_pr", F.percent_rank().over(w))
-        .filter(F.col("_pr") <= keep_ratio)
-        .drop("_pr")
+    better = (
+        F.col("_kb") < boundary_band if ascending else F.col("_kb") > boundary_band
     )
+    w = Window.partitionBy("_kb").orderBy(*order)
+    rank_fn = F.row_number() if tie_col else F.rank()
+    boundary_kept = (
+        banded.filter(F.col("_kb") == boundary_band)
+        .withColumn("_kr", rank_fn.over(w))
+        .filter(F.col("_kr") <= k - rank_before)
+        .drop("_kr")
+    )
+    return banded.filter(better).unionByName(boundary_kept).drop("_kb")
 
 
 def top_k(

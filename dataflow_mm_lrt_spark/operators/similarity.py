@@ -77,8 +77,12 @@ def knn_uniqueness_filter(
     the most-unique (lowest-scoring) ``keep_ratio`` fraction.
 
     Scale path: neighbors restricted to the coarse cell (IVF layout) so
-    scoring is a per-cell equi-join; the keep-fraction is a single
-    percent_rank over the scored set. Output: (id_col, knn_score)."""
+    scoring is a per-cell equi-join; the keep-fraction is the exact
+    distributed selection from ``ranking.keep_top_fraction`` (quantile
+    bands + boundary ranking — no global single-task sort).
+    Output: (id_col, knn_score)."""
+    from .ranking import keep_top_fraction
+
     l = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(cell_col).alias("cell"), "embedding"
     ).alias("q")
@@ -103,12 +107,10 @@ def knn_uniqueness_filter(
         .groupBy("id_a")
         .agg(F.round(F.avg("cosine"), 6).alias("knn_score"))
     )
-    keep_w = Window.orderBy(F.col("knn_score").asc(), F.col("id_a").asc())
-    return (
-        knn.withColumn("_pr", F.percent_rank().over(keep_w))
-        .filter(F.col("_pr") <= keep_ratio)
-        .select(F.col("id_a").alias(id_col), "knn_score")
+    kept = keep_top_fraction(
+        knn, "knn_score", keep_ratio=keep_ratio, ascending=True, tie_col="id_a"
     )
+    return kept.select(F.col("id_a").alias(id_col), "knn_score")
 
 
 def ann_ivf_cosine(
