@@ -668,6 +668,276 @@ FROM embeddings
 
 
 # ---------------------------------------------------------------------------
+# refiner / assembly / eval operators (driver-visible since round 2)
+# ---------------------------------------------------------------------------
+
+
+def q_functional_refiner(spark, sf_dir):
+    """FunctionalRefiner glue (functional_refiner.py:47-66): column-bound
+    kwargs + constant passthrough, vectorized pandas path."""
+    from pyspark.sql.types import LongType
+
+    from .operators import refine
+
+    out = refine.functional_refiner(
+        _t(spark, sf_dir, "documents"),
+        func=lambda text, factor: text.str.len() * factor,
+        input_map={"text": "text", "factor": 2},
+        output_col="text_len2",
+        output_type=LongType(),
+        vectorized=True,
+    )
+    return out.select("doc_id", "text_len2")
+
+
+def sql_functional_refiner():
+    return "SELECT doc_id, CAST(len(text) * 2 AS BIGINT) AS text_len2 FROM documents"
+
+
+def q_keep_top_fraction(spark, sf_dir):
+    out = ranking.keep_top_fraction(
+        _t(spark, sf_dir, "events"), "value", keep_ratio=0.5, tie_col="event_id"
+    )
+    return out.select("event_id", "value")
+
+
+def sql_keep_top_fraction():
+    return """
+SELECT event_id, value FROM events
+QUALIFY percent_rank() OVER (ORDER BY value DESC, event_id ASC) <= 0.5
+"""
+
+
+def _conv_turns(spark, sf_dir):
+    """Deterministic transcript derived from `events` (the testdata has
+    no conversation table): conv=user, turn order=event_id, roles cycle
+    human/gpt/system, texts carry multimodal tokens so the strip/skip
+    paths of Conversation2Message are exercised."""
+    ev = _t(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_id") % 3 == 0, "human")
+        .when(F.col("event_id") % 3 == 1, "gpt")
+        .otherwise("system")
+    )
+    text = (
+        F.when(F.col("event_id") % 13 == 0, F.lit("<image>"))
+        .when(F.col("event_id") % 7 == 0, F.concat("event_type", F.lit(" <image>")))
+        .otherwise(F.col("event_type"))
+    )
+    return ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        "ts",
+        role.alias("role"),
+        text.alias("text"),
+    )
+
+
+_CONV_TURNS_SQL = """
+SELECT user_id AS conv_id, event_id AS turn_idx,
+       CASE WHEN event_id % 3 = 0 THEN 'human'
+            WHEN event_id % 3 = 1 THEN 'gpt' ELSE 'system' END AS role,
+       CASE WHEN event_id % 13 = 0 THEN '<image>'
+            WHEN event_id % 7 = 0 THEN event_type || ' <image>'
+            ELSE event_type END AS text
+FROM events
+"""
+
+
+def q_messages_assembly(spark, sf_dir):
+    """Conversation2Message struct assembly (conversation_to_message.py:
+    49-104) — the messages array serialized to one line-per-message
+    string for value hashing."""
+    from .operators import assembly
+
+    out = assembly.assemble_conversations(_conv_turns(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.expr(
+            "array_join(transform(messages, m -> concat(m.role, ': ', m.content)), char(10))"
+        ).alias("messages_str"),
+    )
+
+
+def sql_messages_assembly():
+    from .functions.normalize import strip_multimodal_tokens_sql
+    from .operators.assembly import SYSTEM_PROMPT
+
+    content = strip_multimodal_tokens_sql("duckdb", "text")
+    return f"""
+WITH t AS ({_CONV_TURNS_SQL}),
+nt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN role = 'human' THEN 'user' ELSE 'assistant' END AS mrole,
+         {content} AS content
+  FROM t WHERE role <> 'system'
+)
+SELECT conv_id, count(*) AS n_turns,
+       'system: {SYSTEM_PROMPT}' ||
+       coalesce(chr(10) || string_agg(mrole || ': ' || content, chr(10)
+                ORDER BY turn_idx) FILTER (WHERE content <> ''), '') AS messages_str
+FROM nt GROUP BY conv_id
+"""
+
+
+def q_wiki_qa(spark, sf_dir):
+    """WikiQARefiner parse (wiki_qa_refiner.py:22-79) over a
+    deterministically constructed article+QA wrapper of each document."""
+    from .operators import refine
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_clean", F.expr("trim(regexp_replace(text, '\\\\s+', ' '))")
+    )
+    wiki = docs.withColumn(
+        "_wtext",
+        F.format_string(
+            "Article: %s\nQuestions:\nQuestion: What is doc %s?\nAnswer: It is %s.",
+            F.col("_clean"), F.col("doc_id"), F.col("lang"),
+        ),
+    )
+    out = refine.wiki_qa_refiner(wiki, text_col="_wtext")
+    return out.select(
+        "doc_id",
+        F.col("wiki_qa.context").alias("context"),
+        F.size("wiki_qa.qas").cast("long").alias("n_qas"),
+        F.element_at("wiki_qa.qas", 1).question.alias("question"),
+        F.element_at("wiki_qa.qas", 1).answer.alias("answer"),
+    )
+
+
+def sql_wiki_qa():
+    return r"""
+SELECT doc_id,
+       trim(regexp_replace(text, '\s+', ' ', 'g')) AS context,
+       CAST(1 AS BIGINT) AS n_qas,
+       'What is doc ' || doc_id || '?' AS question,
+       'It is ' || lang || '.' AS answer
+FROM documents
+"""
+
+
+def q_answer_eval(spark, sf_dir):
+    """GeneralTextAnswerEvaluator rewards
+    (general_text_answer_evaluator.py:102-150) over constructed
+    (solution, model_output, question_type) rows covering all four
+    LLM-free dispatch branches with analytically known rewards."""
+    from .operators import refine
+
+    ev = _t(spark, sf_dir, "events")
+    m4 = F.col("event_id") % 4
+    qt = (
+        F.when(m4 == 0, "multiple choice")
+        .when(m4 == 1, "numerical")
+        .when(m4 == 2, "OCR")
+        .otherwise("regression")
+    )
+    gt_ans = (
+        F.when(m4 == 0, F.lit("A"))
+        .when(m4 == 1, F.col("user_id").cast("string"))
+        .when(m4 == 2, F.lit("alpha beta gamma delta"))
+        .otherwise((F.col("user_id") + 100).cast("string"))
+    )
+    out_ans = (
+        F.when(m4 == 0, F.when(F.col("event_id") % 8 == 0, "A").otherwise("B"))
+        .when(m4 == 1, (F.col("user_id") + F.col("event_id") % 2).cast("string"))
+        .when(
+            m4 == 2,
+            F.when(F.col("event_id") % 8 == 2, "alpha beta gamma delta").otherwise(
+                "alpha beta gamma omega"
+            ),
+        )
+        .otherwise((F.col("user_id") + 100 + F.col("event_id") % 3).cast("string"))
+    )
+    rows = ev.select(
+        "event_id", "user_id",
+        F.concat(F.lit("<answer> "), gt_ans, F.lit(" </answer>")).alias("solution"),
+        F.concat(F.lit("<answer> "), out_ans, F.lit(" </answer>")).alias("model_output"),
+        qt.alias("problem_type"),
+    )
+    out = refine.answer_eval(rows)
+    return out.select(
+        "event_id", "problem_type", F.round("reward", 6).alias("reward")
+    )
+
+
+def sql_answer_eval():
+    return """
+SELECT event_id,
+  CASE event_id % 4 WHEN 0 THEN 'multiple choice' WHEN 1 THEN 'numerical'
+       WHEN 2 THEN 'OCR' ELSE 'regression' END AS problem_type,
+  round(CASE event_id % 4
+    WHEN 0 THEN CASE WHEN event_id % 8 = 0 THEN 1e0 ELSE 0e0 END
+    WHEN 1 THEN CASE WHEN event_id % 2 = 0 THEN 1e0 ELSE 0e0 END
+    WHEN 2 THEN CASE WHEN event_id % 8 = 2 THEN 1e0 ELSE 0.75e0 END
+    ELSE 1e0 - least(1e0, (abs(CAST(event_id % 3 AS DOUBLE)) + 1e-9)
+                          / (abs(CAST(user_id + 100 AS DOUBLE)) + 1e-9))
+  END, 6) AS reward
+FROM events
+"""
+
+
+def q_mcts_chains(spark, sf_dir):
+    """MCTSTreeRefiner chain extraction (mcts_tree_refiner.py:30-106)
+    over a constructed one-node tree per document (one wrong + one
+    correct rollout → exactly the backtrack-pair chain and the direct
+    chain, both analytically reproducible in SQL)."""
+    from .operators import mcts
+
+    docs = _t(spark, sf_dir, "documents")
+    frag = F.expr("trim(regexp_replace(substr(text, 1, 40), '\\\\s+', ' '))")
+    tree = F.to_json(
+        F.struct(
+            F.lit(True).alias("is_terminal"),
+            F.array(
+                F.struct(
+                    F.lit(0.0).alias("reward"),
+                    F.array(
+                        F.concat(F.lit("<think>wrong about "), frag, F.lit("</think>")),
+                        F.lit("<answer> B </answer>"),
+                    ).alias("ephemeral_texts"),
+                ),
+                F.struct(
+                    F.lit(1.0).alias("reward"),
+                    F.array(
+                        F.concat(F.lit("<think>correct about "), frag, F.lit("</think>")),
+                        F.lit("<answer> A </answer>"),
+                    ).alias("ephemeral_texts"),
+                ),
+            ).alias("rollouts"),
+        )
+    )
+    out = mcts.mcts_tree_refiner(
+        docs.withColumn("tree", tree), tree_col="tree", id_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        F.size("chains").cast("long").alias("n_chains"),
+        F.element_at("chains", 1).alias("chain_pair"),
+        F.element_at("chains", 2).alias("chain_direct"),
+    )
+
+
+def sql_mcts_chains():
+    from .operators.mcts import BACKTRACK_MESSAGE
+
+    bt = BACKTRACK_MESSAGE.replace("'", "''")
+    return rf"""
+WITH f AS (
+  SELECT doc_id, trim(regexp_replace(substr(text, 1, 40), '\s+', ' ', 'g')) AS frag
+  FROM documents
+)
+SELECT doc_id, CAST(2 AS BIGINT) AS n_chains,
+  '<think>' || chr(10) || 'wrong about ' || frag || chr(10) || '{bt}' ||
+    chr(10) || 'correct about ' || frag || chr(10) || '</think>' ||
+    chr(10) || '<answer> A </answer>' AS chain_pair,
+  '<think>' || chr(10) || 'correct about ' || frag || chr(10) || '</think>' ||
+    chr(10) || '<answer> A </answer>' AS chain_direct
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -699,6 +969,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_cosine": q_ann_ivf,
     "knn_uniqueness_filter": q_knn_uniqueness,
     "embedding_norms": q_embedding_norms,
+    "functional_refiner": q_functional_refiner,
+    "keep_top_fraction": q_keep_top_fraction,
+    "messages_assembly": q_messages_assembly,
+    "wiki_qa_refiner": q_wiki_qa,
+    "answer_eval": q_answer_eval,
+    "mcts_tree_refiner": q_mcts_chains,
 }
 
 ORACLES: dict[str, str] = {
@@ -729,6 +1005,12 @@ ORACLES: dict[str, str] = {
     "ann_ivf_cosine": sql_ann_ivf(),
     "knn_uniqueness_filter": sql_knn_uniqueness(),
     "embedding_norms": sql_embedding_norms(),
+    "functional_refiner": sql_functional_refiner(),
+    "keep_top_fraction": sql_keep_top_fraction(),
+    "messages_assembly": sql_messages_assembly(),
+    "wiki_qa_refiner": sql_wiki_qa(),
+    "answer_eval": sql_answer_eval(),
+    "mcts_tree_refiner": sql_mcts_chains(),
 }
 
 
