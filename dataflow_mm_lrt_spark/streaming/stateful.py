@@ -215,12 +215,17 @@ def exact_stream_dedup(
     text_col: str = "text",
 ) -> DataFrame:
     """Built-in global streaming dedup (first *arrival* wins) — Spark's
-    ``dropDuplicates`` with watermark-evicted key state. The keyed,
-    order-deterministic dedup lives in ``ordered_assembly``; this stage
-    is the high-throughput exact variant for corpus-global dedup."""
+    ``dropDuplicatesWithinWatermark`` so fingerprint state is EVICTED
+    once the watermark passes (round-1 used ``dropDuplicates`` without
+    the event-time column in the key, which never evicts and grows state
+    unboundedly on a long-running stream). A fingerprint re-arriving
+    after its state expired is emitted again — the documented horizon
+    semantics of watermark dedup; corpus-global exactness beyond the
+    horizon belongs to the batch ``dedup.exact_keep_first`` compaction.
+    The keyed, order-deterministic dedup lives in ``ordered_assembly``."""
     return (
         df.withColumn("_fp", F.expr(fingerprint_sql("spark", text_col)))
         .withWatermark("ts", watermark_delay)
-        .dropDuplicates(["_fp"])
+        .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
