@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from .functions.dialect import DUCKDB as DIALECT_DUCKDB
+from .functions.dialect import SPARK as DIALECT_SPARK
 from .functions.hashing import md5_int_sql, minhash_coeffs, perm_hash_sql, shingles_sql
 from .functions.normalize import normalize_sql
 from .functions.text_rules import RULES, keep_sql, rule_flag_sql
@@ -671,6 +673,48 @@ FROM embeddings
 # refiner / assembly / eval operators (driver-visible since round 2)
 # ---------------------------------------------------------------------------
 
+# ASCII snippets hitting every branch of the whisper-en pipeline:
+# brackets, fillers, contractions, titles, digit commas, decimals,
+# percent/currency, sentence periods
+_EN_SNIPPETS = [
+    "Mr Smith won't go, he's 100% sure.",
+    "uh well [noise] let's pay $1,250.50 now...",
+    "she'll've seen it (probably) by 3.14 pm",
+    "hmm Dr Jones can't y'all just relax?",
+    "I'ma stay; we'd been gone for 2,000 days.",
+]
+
+
+def q_normalize_en(spark, sf_dir):
+    from .functions.whisper_en import english_normalize_sql
+    from .operators import refine
+
+    k = len(_EN_SNIPPETS)
+    snips = ", ".join(
+        DIALECT_SPARK.lit(s) for s in _EN_SNIPPETS
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_en_text",
+        F.expr(
+            f"concat(element_at(array({snips}), cast(doc_id % {k} as int) + 1), ' ', text)"
+        ),
+    )
+    out = refine.english_normalize_text(docs, text_col="_en_text")
+    assert english_normalize_sql  # dual-dialect source shared with oracle
+    return out.select("doc_id", "text_norm")
+
+
+def sql_normalize_en():
+    from .functions.whisper_en import english_normalize_sql
+
+    k = len(_EN_SNIPPETS)
+    snips = ", ".join(DIALECT_DUCKDB.lit(s) for s in _EN_SNIPPETS)
+    en_text = f"(([{snips}])[(doc_id % {k}) + 1] || ' ' || text)"
+    return (
+        f"SELECT doc_id, {english_normalize_sql('duckdb', en_text)} AS text_norm "
+        "FROM documents"
+    )
+
 
 def q_functional_refiner(spark, sf_dir):
     """FunctionalRefiner glue (functional_refiner.py:47-66): column-bound
@@ -825,27 +869,36 @@ def q_answer_eval(spark, sf_dir):
     from .operators import refine
 
     ev = _t(spark, sf_dir, "events")
-    m4 = F.col("event_id") % 4
+    m = F.col("event_id") % 5
+    even = F.col("event_id") % 2 == 0
     qt = (
-        F.when(m4 == 0, "multiple choice")
-        .when(m4 == 1, "numerical")
-        .when(m4 == 2, "OCR")
+        F.when(m == 0, "multiple choice")
+        .when(m == 1, "numerical")
+        .when(m == 2, "OCR")
+        .when(m == 3, "free-form")
         .otherwise("regression")
     )
     gt_ans = (
-        F.when(m4 == 0, F.lit("A"))
-        .when(m4 == 1, F.col("user_id").cast("string"))
-        .when(m4 == 2, F.lit("alpha beta gamma delta"))
+        F.when(m == 0, F.lit("A"))
+        .when(m == 1, F.col("user_id").cast("string"))
+        .when(m == 2, F.lit("alpha beta gamma delta"))
+        .when(m == 3, F.lit("alpha beta gamma delta"))
         .otherwise((F.col("user_id") + 100).cast("string"))
     )
     out_ans = (
-        F.when(m4 == 0, F.when(F.col("event_id") % 8 == 0, "A").otherwise("B"))
-        .when(m4 == 1, (F.col("user_id") + F.col("event_id") % 2).cast("string"))
+        F.when(m == 0, F.when(even, "A").otherwise("B"))
+        .when(m == 1, (F.col("user_id") + F.col("event_id") % 2).cast("string"))
         .when(
-            m4 == 2,
-            F.when(F.col("event_id") % 8 == 2, "alpha beta gamma delta").otherwise(
+            m == 2,
+            F.when(even, "alpha beta gamma delta").otherwise(
                 "alpha beta gamma omega"
             ),
+        )
+        .when(
+            m == 3,
+            # ROUGE-1/2/L of a 3-token prefix vs the 4-token reference is
+            # analytically (6/7 + 4/5 + 6/7)/3 — SQL-expressible
+            F.when(even, "alpha beta gamma delta").otherwise("alpha beta gamma"),
         )
         .otherwise((F.col("user_id") + 100 + F.col("event_id") % 3).cast("string"))
     )
@@ -864,12 +917,15 @@ def q_answer_eval(spark, sf_dir):
 def sql_answer_eval():
     return """
 SELECT event_id,
-  CASE event_id % 4 WHEN 0 THEN 'multiple choice' WHEN 1 THEN 'numerical'
-       WHEN 2 THEN 'OCR' ELSE 'regression' END AS problem_type,
-  round(CASE event_id % 4
-    WHEN 0 THEN CASE WHEN event_id % 8 = 0 THEN 1e0 ELSE 0e0 END
+  CASE event_id % 5 WHEN 0 THEN 'multiple choice' WHEN 1 THEN 'numerical'
+       WHEN 2 THEN 'OCR' WHEN 3 THEN 'free-form' ELSE 'regression' END AS problem_type,
+  round(CASE event_id % 5
+    WHEN 0 THEN CASE WHEN event_id % 2 = 0 THEN 1e0 ELSE 0e0 END
     WHEN 1 THEN CASE WHEN event_id % 2 = 0 THEN 1e0 ELSE 0e0 END
-    WHEN 2 THEN CASE WHEN event_id % 8 = 2 THEN 1e0 ELSE 0.75e0 END
+    WHEN 2 THEN CASE WHEN event_id % 2 = 0 THEN 1e0 ELSE 0.75e0 END
+    WHEN 3 THEN CASE WHEN event_id % 2 = 0 THEN 1e0
+                ELSE (2e0 * 0.75e0 / 1.75e0 + 2e0 * (2e0/3e0) / (1e0 + 2e0/3e0)
+                      + 2e0 * 0.75e0 / 1.75e0) / 3e0 END
     ELSE 1e0 - least(1e0, (abs(CAST(event_id % 3 AS DOUBLE)) + 1e-9)
                           / (abs(CAST(user_id + 100 AS DOUBLE)) + 1e-9))
   END, 6) AS reward
@@ -975,6 +1031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wiki_qa_refiner": q_wiki_qa,
     "answer_eval": q_answer_eval,
     "mcts_tree_refiner": q_mcts_chains,
+    "normalize_en": q_normalize_en,
 }
 
 ORACLES: dict[str, str] = {
@@ -1011,6 +1068,7 @@ ORACLES: dict[str, str] = {
     "wiki_qa_refiner": sql_wiki_qa(),
     "answer_eval": sql_answer_eval(),
     "mcts_tree_refiner": sql_mcts_chains(),
+    "normalize_en": sql_normalize_en(),
 }
 
 

@@ -44,6 +44,10 @@ class Dialect:
             return f"regexp_replace({x}, {self.lit(pattern)}, {self.lit(repl)})"
         return f"regexp_replace({x}, {self.lit(pattern)}, {self.lit(repl)}, 'g')"
 
+    def backref(self, i: int) -> str:
+        """Group backreference inside a regexp_replace replacement."""
+        return f"${i}" if self.name == "spark" else f"\\{i}"
+
     def split(self, x: str, pattern: str) -> str:
         """Regex split → array of strings."""
         if self.name == "spark":

@@ -113,7 +113,7 @@ def answer_eval(
     reward_col: str = "reward",
 ) -> DataFrame:
     """Per-row reward by question type (multiple choice / numerical /
-    OCR-WER / regression), Arrow-batched; dispatch + tag extraction follow
+    OCR-WER / free-form ROUGE / regression), Arrow-batched; dispatch + tag extraction follow
     general_text_answer_evaluator.py:102-150 via the tested port."""
     from ..oracle.reference_port import calculate_reward
 
@@ -141,6 +141,18 @@ def basic_normalize_text(
     e = f"regexp_replace({e}, '[^\\\\p{{L}}\\\\p{{N}}\\\\s]', ' ')"
     e = f"trim(regexp_replace({e}, '\\\\s+', ' '))"
     return df.withColumn(out_col, F.expr(e))
+
+
+def english_normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """TextNormalizer's ``language="en"`` path
+    (audio_text_normalizer.py:29-31 → whisper EnglishTextNormalizer):
+    the full contraction/filler/symbol pipeline as one Catalyst
+    expression chain (see functions/whisper_en.py for scope notes)."""
+    from ..functions.whisper_en import english_normalize_sql
+
+    return df.withColumn(out_col, F.expr(english_normalize_sql("spark", text_col)))
 
 
 def wiki_qa_refiner(

@@ -215,7 +215,7 @@ def keep_first_dedup(texts) -> list[bool]:
 
 # ---------------------------------------------------------------------------
 # GeneralTextAnswerEvaluator — general_text_answer_evaluator.py:46-150
-# (LLM-free subset: multiple choice / numerical / regression / OCR-WER)
+# (LLM-free: multiple choice / numerical / regression / OCR-WER / free-form ROUGE)
 # ---------------------------------------------------------------------------
 
 
@@ -248,6 +248,51 @@ def wer(reference: str, hypothesis: str) -> float:
     return d[m][n] / max(1, m)
 
 
+def _rouge_tokens(text: str) -> list[str]:
+    """rouge_score's default tokenization: lowercase, alphanumeric runs
+    (the reference's ``use_stemmer=True`` Porter stemming is an external
+    NLTK dependency — documented off here)."""
+    return re.findall(r"[a-z0-9]+", (text or "").lower())
+
+
+def _rouge_f(p: float, r: float) -> float:
+    return 0.0 if p + r == 0 else 2 * p * r / (p + r)
+
+
+def _rouge_n(ref: list[str], hyp: list[str], n: int) -> float:
+    from collections import Counter
+
+    rg = Counter(tuple(ref[i : i + n]) for i in range(len(ref) - n + 1))
+    hg = Counter(tuple(hyp[i : i + n]) for i in range(len(hyp) - n + 1))
+    if not rg or not hg:
+        return 0.0
+    overlap = sum(min(c, hg[g]) for g, c in rg.items())
+    return _rouge_f(overlap / sum(hg.values()), overlap / sum(rg.values()))
+
+
+def _rouge_l(ref: list[str], hyp: list[str]) -> float:
+    if not ref or not hyp:
+        return 0.0
+    m, n = len(ref), len(hyp)
+    d = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            d[i][j] = (
+                d[i - 1][j - 1] + 1
+                if ref[i - 1] == hyp[j - 1]
+                else max(d[i - 1][j], d[i][j - 1])
+            )
+    lcs = d[m][n]
+    return _rouge_f(lcs / n, lcs / m)
+
+
+def compute_rouge_score(reference: str, hypothesis: str) -> float:
+    """general_text_answer_evaluator.py:95-100: mean of ROUGE-1/2/L
+    F-measures (stemming delta documented in ``_rouge_tokens``)."""
+    ref, hyp = _rouge_tokens(reference), _rouge_tokens(hypothesis)
+    return (_rouge_n(ref, hyp, 1) + _rouge_n(ref, hyp, 2) + _rouge_l(ref, hyp)) / 3
+
+
 def calculate_reward(gt_solution: str, model_output: str, question_type: str) -> float:
     out_ans = extract_answer(model_output)
     gt_ans = extract_answer(gt_solution)
@@ -262,6 +307,8 @@ def calculate_reward(gt_solution: str, model_output: str, question_type: str) ->
         return 1.0 if round(g, 2) == round(o, 2) else 0.0
     if question_type == "OCR":
         return max(0.0, min(1.0, 1 - wer(gt_ans, out_ans)))
+    if question_type == "free-form":
+        return max(0.0, min(1.0, compute_rouge_score(gt_ans, out_ans)))
     if question_type == "regression":
         g, o = normalize_number(gt_ans), normalize_number(out_ans)
         if g is None or o is None:
