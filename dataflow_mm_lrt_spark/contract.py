@@ -650,6 +650,57 @@ SELECT id_a AS vec_id, knn_score FROM (
 """
 
 
+def q_ann_lsh_cells(spark, sf_dir):
+    """Centroid-free coarse-quantizer cells from raw vectors (sign-LSH) —
+    the cell-assignment operator the round-1 ANN story lacked."""
+    out = similarity.lsh_cells(_t(spark, sf_dir, "embeddings"))
+    return out.select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
+def sql_ann_lsh_cells():
+    planes = similarity.lsh_hyperplanes()
+    cell = similarity.lsh_cell_sql("duckdb", "embedding", planes)
+    return f"SELECT vec_id, CAST({cell} AS BIGINT) AS cell FROM embeddings"
+
+
+def q_ann_auto_cells(spark, sf_dir):
+    """End-to-end ANN on raw vectors: assign LSH cells, then IVF-restricted
+    top-k within the query's cell (no precomputed label column)."""
+    emb = similarity.lsh_cells(_t(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    out = similarity.ann_ivf_cosine(emb, q, k=KNN_K, cell_col="cell")
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def sql_ann_auto_cells():
+    planes = similarity.lsh_hyperplanes()
+    cell = similarity.lsh_cell_sql("duckdb", "embedding", planes)
+    return f"""
+WITH celled AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+q AS (SELECT vec_id AS query_id, cell, embedding FROM celled WHERE vec_id % {QUERY_MOD} = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM q JOIN celled c ON q.cell = c.cell AND q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {KNN_K}
+"""
+
+
+def q_kmeans_cells(spark, sf_dir):
+    """IVF coarse-quantizer training (k-means-lite, 2 Lloyd steps,
+    deterministic init). Iterative — no single SQL oracle exists; the
+    driver records the weaker rows-only check, and unit tests diff the
+    assignment against a NumPy reference implementation."""
+    out = similarity.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=10, n_iters=2)
+    return out.select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
 def q_embedding_norms(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
@@ -1032,6 +1083,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "answer_eval": q_answer_eval,
     "mcts_tree_refiner": q_mcts_chains,
     "normalize_en": q_normalize_en,
+    "ann_lsh_cells": q_ann_lsh_cells,
+    "ann_auto_cells": q_ann_auto_cells,
+    "kmeans_cells": q_kmeans_cells,
 }
 
 ORACLES: dict[str, str] = {
@@ -1069,6 +1123,9 @@ ORACLES: dict[str, str] = {
     "answer_eval": sql_answer_eval(),
     "mcts_tree_refiner": sql_mcts_chains(),
     "normalize_en": sql_normalize_en(),
+    "ann_lsh_cells": sql_ann_lsh_cells(),
+    "ann_auto_cells": sql_ann_auto_cells(),
+    # kmeans_cells: iterative operator, deliberately no SQL oracle
 }
 
 

@@ -113,6 +113,193 @@ def knn_uniqueness_filter(
     return kept.select(F.col("id_a").alias(id_col), "knn_score")
 
 
+def _dlit(v: float) -> str:
+    """A float as a dialect-neutral SQL DOUBLE literal (scientific
+    notation parses as double in both Spark and DuckDB; bare decimals
+    would be DECIMAL in both)."""
+    return f"{float(v):.10e}"
+
+
+def lsh_hyperplanes(n_planes: int = 4, dim: int = 64, seed: int = 42):
+    """Deterministic random hyperplanes (seeded, rounded so the SQL
+    literals are bit-identical across engines)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[round(float(v), 4) for v in rng.normal(size=dim)] for _ in range(n_planes)]
+
+
+def lsh_cell_sql(dialect: str, emb_col: str, planes: list[list[float]]) -> str:
+    """Random-hyperplane LSH cell id (the sign pattern of ``n_planes``
+    dot products) as a dual-dialect SQL expression. The dot is rounded
+    to 6 dp before the sign test so both engines quantize identically."""
+    bits = []
+    for j, w in enumerate(planes):
+        if dialect == "spark":
+            arr = "array(" + ", ".join(_dlit(v) for v in w) + ")"
+            dot = (
+                f"aggregate(zip_with({emb_col}, {arr}, (x, w) -> cast(x as double) * w), "
+                f"0d, (acc, v) -> acc + v)"
+            )
+            bits.append(f"IF(round({dot}, 6) >= 0, {1 << j}, 0)")
+        else:
+            arr = "[" + ", ".join(_dlit(v) for v in w) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip({emb_col}, {arr}), "
+                f"p -> p[1]::DOUBLE * p[2]))"
+            )
+            bits.append(f"CASE WHEN round({dot}, 6) >= 0 THEN {1 << j} ELSE 0 END")
+    return "cast((" + " + ".join(bits) + ") as int)"
+
+
+def lsh_cells(
+    df: DataFrame,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    emb_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Coarse-quantizer cells from raw vectors via sign-LSH — the
+    centroid-free cell assignment that lets ``ann_ivf_cosine`` /
+    ``embedding_cosine_near_dup`` run without a precomputed label
+    column. 2^n_planes cells; entirely Catalyst (no Python, no shuffle —
+    a projection)."""
+    planes = lsh_hyperplanes(n_planes, dim, seed)
+    return df.withColumn(cell_col, F.expr(lsh_cell_sql("spark", emb_col, planes)))
+
+
+def _centroid_dist_structs(cents: list[list[float]], emb_col: str) -> str:
+    """array(struct(squared_dist, cell_id), ...) over broadcast centroid
+    literals — the shared argmin/top-probes building block."""
+    structs = []
+    for j, c in enumerate(cents):
+        arr = "array(" + ", ".join(_dlit(v) for v in c) + ")"
+        dist = (
+            f"aggregate(zip_with({emb_col}, {arr}, "
+            f"(x, c) -> (cast(x as double) - c) * (cast(x as double) - c)), "
+            f"0d, (acc, v) -> acc + v)"
+        )
+        structs.append(f"struct({dist} as d, {j} as i)")
+    return f"array({', '.join(structs)})"
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    emb_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid cell id per row (argmin squared distance; ties →
+    lower cell id). Pure projection — no shuffle, no Python."""
+    expr = f"array_min({_centroid_dist_structs(centroids, emb_col)}).i"
+    return df.withColumn(cell_col, F.expr(expr))
+
+
+def probe_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    emb_col: str = "embedding",
+    out_col: str = "probe_cells",
+) -> DataFrame:
+    """The ``nprobe`` nearest cell ids per row (multi-probe IVF search
+    list), as an array column."""
+    arr = _centroid_dist_structs(centroids, emb_col)
+    expr = f"transform(slice(array_sort({arr}), 1, {nprobe}), s -> s.i)"
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 10,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> list[list[float]]:
+    """K-means-lite coarse quantizer (IVF 'training'): deterministic
+    init (the vectors of the k smallest ids), ``n_iters`` Lloyd steps.
+
+    Per step only k×dim centroid floats move through the driver (the
+    same contract as MLlib's KMeans aggregation); every row-level pass —
+    argmin assignment and per-cell mean — is a Catalyst expression over
+    broadcast centroid literals, so the data itself never collects.
+    Empty cells keep their previous centroid. Returns the centroids.
+    """
+    base = df.select(id_col, emb_col).persist()
+    init = base.orderBy(id_col).limit(k).collect()
+    centroids = [[float(v) for v in r[emb_col]] for r in init]
+
+    for _ in range(n_iters):
+        assigned = assign_cells(base, centroids, emb_col)
+        rows = (
+            assigned.select("cell", F.posexplode(emb_col).alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = {c: list(cent) for c, cent in enumerate(centroids)}
+        for r in rows:
+            new[r["cell"]][r["pos"]] = float(r["m"])
+        centroids = [new[c] for c in range(k)]
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 10,
+    n_iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """fit + assign in one call (see ``kmeans_fit``). Output: ``df`` +
+    ``cell_col``."""
+    centroids = kmeans_fit(df, k, n_iters, id_col, emb_col)
+    return assign_cells(df, centroids, emb_col, cell_col)
+
+
+def ann_ivf_multiprobe(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Multi-probe IVF ANN: the corpus is bucketed once by nearest
+    centroid; each query searches its ``nprobe`` nearest cells (explode →
+    equi-join on cell — candidate set is nprobe/k of the corpus, and the
+    recall/cost trade-off is the knob, exactly the IVF design). Same
+    output shape as the brute path."""
+    c = assign_cells(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), "embedding"),
+        centroids,
+    ).alias("c")
+    q = (
+        probe_cells(
+            queries.select(F.col(id_col).alias("query_id"), "embedding"),
+            centroids,
+            nprobe,
+        )
+        .select("query_id", "embedding", F.explode("probe_cells").alias("cell"))
+        .alias("q")
+    )
+    scored = (
+        q.join(c, (F.col("q.cell") == F.col("c.cell"))
+               & (F.col("q.query_id") != F.col("c.neighbor_id")))
+        .select("query_id", "neighbor_id", F.expr(COSINE_EXPR).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ann_ivf_cosine(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,94 @@
+"""Coarse-quantizer cell assignment (LSH + k-means-lite) and
+multi-probe IVF ANN: determinism vs a NumPy reference, and measured
+recall vs the brute-force oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dataflow_mm_lrt_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def numpy_kmeans(ids, X, k=10, n_iters=2):
+    """Reference Lloyd implementation matching kmeans_fit's contract:
+    init = vectors of the k smallest ids, ties -> lower cell id,
+    empty cells keep their centroid."""
+    order = np.argsort(ids)
+    C = X[order[:k]].copy()
+    for _ in range(n_iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), C
+
+
+def test_kmeans_assign_matches_numpy(emb, emb_np):
+    ids, X = emb_np
+    exp_cells, exp_C = numpy_kmeans(ids, X, k=10, n_iters=2)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.kmeans_assign(emb, k=10, n_iters=2).collect()
+    }
+    mismatch = sum(got[i] != e for i, e in zip(ids, exp_cells))
+    # centroid literals round-trip through .10e literals -> allow only
+    # boundary-tie slack, none expected on this data
+    assert mismatch == 0, f"{mismatch} assignment mismatches"
+
+
+def test_kmeans_fit_centroids_match_numpy(emb, emb_np):
+    ids, X = emb_np
+    _, exp_C = numpy_kmeans(ids, X, k=10, n_iters=2)
+    got_C = np.array(similarity.kmeans_fit(emb, k=10, n_iters=2))
+    assert np.allclose(got_C, exp_C, atol=1e-6)
+
+
+def _recall(spark, emb, ann_df, k=3):
+    q = emb.filter("vec_id % 50 = 0")
+    brute = similarity.knn_brute_cosine(emb, q, k=k)
+    bset = {(r[0], r[1]) for r in brute.select("query_id", "neighbor_id").collect()}
+    aset = {(r[0], r[1]) for r in ann_df.select("query_id", "neighbor_id").collect()}
+    return len(aset & bset) / len(bset)
+
+
+def test_multiprobe_recall_beats_single_probe(spark, emb):
+    centroids = similarity.kmeans_fit(emb, k=10, n_iters=2)
+    q = emb.filter("vec_id % 50 = 0")
+    single = similarity.ann_ivf_multiprobe(emb, q, centroids, k=3, nprobe=1)
+    multi = similarity.ann_ivf_multiprobe(emb, q, centroids, k=3, nprobe=5)
+    r1, r5 = _recall(spark, emb, single), _recall(spark, emb, multi)
+    assert r5 >= r1
+    assert r5 >= 0.5, f"nprobe=5 recall {r5} below floor"
+    # full probe = exhaustive = exact
+    r_all = _recall(
+        spark, emb, similarity.ann_ivf_multiprobe(emb, q, centroids, k=3, nprobe=10)
+    )
+    assert r_all == 1.0
+
+
+def test_lsh_cells_deterministic_and_complete(emb):
+    out = similarity.lsh_cells(emb).select("vec_id", "cell").collect()
+    cells = {r["cell"] for r in out}
+    assert len(out) == emb.count()
+    assert cells <= set(range(16))
