@@ -9,10 +9,21 @@ commit manifests keyed by (checkpoint_epoch, partition_id)"):
   — a re-run of the same epoch overwrites its own partial output;
 * the epoch becomes visible only when ``_manifests/epoch-<id>.json`` is
   atomically renamed into place; the manifest records per-partition
-  lineage (files, row counts) and event-time bounds (metrics);
+  lineage (file, bytes, row count) and event-time bounds (metrics);
 * a replayed batch whose manifest already exists is skipped entirely;
 * readers (``read_committed``) list manifests and read exactly the
   committed files.
+
+Scale notes (round-2 fixes of the round-1 sink):
+
+* lineage comes from ONE cached aggregate over the micro-batch
+  (per-``spark_partition_id`` counts + ts bounds) collected alongside
+  the write — the round-1 sink re-read every file it had just written,
+  a second full I/O pass per epoch;
+* every path operation goes through the Hadoop FileSystem API resolved
+  from the sink URI, so the commit protocol works unchanged on
+  HDFS/S3A/ABFS, not just local POSIX (metadata-only calls; manifests
+  are tiny).
 
 This is the same commit protocol an Iceberg sink would use (snapshot +
 manifest list); it is kept behind one class so an Iceberg writer can be
@@ -22,7 +33,6 @@ swapped in where the runtime jar exists (SURVEY.md §7.2 step 7).
 from __future__ import annotations
 
 import json
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,60 +41,130 @@ from pyspark.sql import functions as F
 
 class ManifestSink:
     def __init__(self, base_dir: str):
-        self.base_dir = base_dir
-        self.data_dir = os.path.join(base_dir, "data")
-        self.manifest_dir = os.path.join(base_dir, "_manifests")
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self.base_dir = base_dir.rstrip("/")
+        self.data_dir = f"{self.base_dir}/data"
+        self.manifest_dir = f"{self.base_dir}/_manifests"
+        self._fs = None
+        self._jpath = None
+
+    # -- Hadoop FS plumbing --------------------------------------------------
+
+    def _jvm_fs(self):
+        """(FileSystem, Path-class) for the sink URI, lazily resolved."""
+        if self._fs is None:
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError("ManifestSink needs an active SparkSession")
+            jvm = spark._jvm
+            self._jpath = jvm.org.apache.hadoop.fs.Path
+            self._fs = self._jpath(self.base_dir).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
+            self._fs.mkdirs(self._jpath(self.data_dir))
+            self._fs.mkdirs(self._jpath(self.manifest_dir))
+        return self._fs, self._jpath
+
+    def _exists(self, path: str) -> bool:
+        fs, P = self._jvm_fs()
+        return fs.exists(P(path))
+
+    def _list(self, path: str) -> list[tuple[str, int]]:
+        """[(name, bytes)] under path (metadata-only listing)."""
+        fs, P = self._jvm_fs()
+        if not fs.exists(P(path)):
+            return []
+        return [
+            (st.getPath().getName(), st.getLen())
+            for st in fs.listStatus(P(path))
+        ]
+
+    def _write_atomic(self, path: str, text: str) -> None:
+        fs, P = self._jvm_fs()
+        tmp = path + ".tmp"
+        out = fs.create(P(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        fs.delete(P(path), False)
+        fs.rename(P(tmp), P(path))  # atomic commit point
+
+    def _read_text(self, path: str) -> str:
+        fs, P = self._jvm_fs()
+        jvm = SparkSession.getActiveSession()._jvm
+        stream = fs.open(P(path))
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        try:
+            lines = []
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                lines.append(line)
+            return "\n".join(lines)
+        finally:
+            reader.close()
 
     # -- commit protocol ---------------------------------------------------
 
     def _manifest_path(self, batch_id: int) -> str:
-        return os.path.join(self.manifest_dir, f"epoch-{batch_id:010d}.json")
+        return f"{self.manifest_dir}/epoch-{batch_id:010d}.json"
 
     def is_committed(self, batch_id: int) -> bool:
-        return os.path.exists(self._manifest_path(batch_id))
+        return self._exists(self._manifest_path(batch_id))
 
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body. Idempotent on replay of the same batch_id."""
         if self.is_committed(batch_id):
             return  # exactly-once: replayed epoch is a no-op
-        epoch_dir = os.path.join(self.data_dir, f"epoch={batch_id:010d}")
-        batch_df.write.mode("overwrite").parquet(epoch_dir)
+        epoch_dir = f"{self.data_dir}/epoch={batch_id:010d}"
 
-        # lineage + metrics from the files just written (parquet footers —
-        # no recompute of the batch plan)
-        spark = batch_df.sparkSession
-        files = sorted(
-            f for f in os.listdir(epoch_dir) if f.endswith(".parquet")
-        )
-        lineage = []
-        n_rows = 0
-        ts_min = ts_max = None
-        if files:
-            written = spark.read.parquet(epoch_dir)
-            per_file = (
-                written.groupBy(F.input_file_name().alias("file"))
-                .agg(
-                    F.count("*").alias("rows"),
-                    F.min("ts").alias("ts_min"),
-                    F.max("ts").alias("ts_max"),
-                )
+        # one materialization serves both the write and the lineage
+        # aggregate — no read-back of the files just written
+        batch_df.persist()
+        try:
+            batch_df.write.mode("overwrite").parquet(epoch_dir)
+            has_ts = "ts" in batch_df.columns
+            aggs = [F.count("*").alias("rows")]
+            if has_ts:
+                aggs += [F.min("ts").alias("ts_min"), F.max("ts").alias("ts_max")]
+            stats = (
+                batch_df.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(*aggs)
                 .collect()
             )
-            for i, r in enumerate(sorted(per_file, key=lambda r: r["file"])):
-                lineage.append(
-                    {
-                        "partition_id": i,
-                        "file": os.path.basename(r["file"]),
-                        "rows": r["rows"],
-                    }
-                )
-                n_rows += r["rows"]
-                for v, agg in ((r["ts_min"], min), (r["ts_max"], max)):
-                    if v is not None:
-                        ts_min = v if ts_min is None else min(ts_min, v)
-                        ts_max = v if ts_max is None else max(ts_max, v)
+        finally:
+            batch_df.unpersist()
+
+        rows_by_pid = {r["pid"]: r["rows"] for r in stats}
+        n_rows = sum(rows_by_pid.values())
+        ts_min = ts_max = None
+        if has_ts:
+            mins = [r["ts_min"] for r in stats if r["ts_min"] is not None]
+            maxs = [r["ts_max"] for r in stats if r["ts_max"] is not None]
+            ts_min = min(mins) if mins else None
+            ts_max = max(maxs) if maxs else None
+
+        # file lineage from the directory listing (metadata only);
+        # part files encode their writing partition as part-<pid>-…
+        lineage = []
+        for name, size in sorted(self._list(epoch_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            try:
+                pid = int(name.split("-")[1])
+            except (IndexError, ValueError):
+                pid = -1
+            lineage.append(
+                {
+                    "partition_id": pid,
+                    "file": name,
+                    "bytes": size,
+                    "rows": rows_by_pid.get(pid, 0),
+                }
+            )
 
         manifest = {
             "epoch": batch_id,
@@ -94,10 +174,7 @@ class ManifestSink:
             "ts_max": str(ts_max) if ts_max is not None else None,
             "partitions": lineage,
         }
-        tmp = self._manifest_path(batch_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(batch_id))  # atomic commit point
+        self._write_atomic(self._manifest_path(batch_id), json.dumps(manifest))
 
     def foreach_batch(self):
         return lambda df, bid: self.write_batch(df, bid)
@@ -106,26 +183,22 @@ class ManifestSink:
 
     def committed_epochs(self) -> list[int]:
         out = []
-        for f in sorted(os.listdir(self.manifest_dir)):
-            if f.startswith("epoch-") and f.endswith(".json"):
-                out.append(int(f[len("epoch-"):-len(".json")]))
+        for name, _ in sorted(self._list(self.manifest_dir)):
+            if name.startswith("epoch-") and name.endswith(".json"):
+                out.append(int(name[len("epoch-"):-len(".json")]))
         return out
 
     def manifests(self) -> list[dict]:
         return [
-            json.load(open(self._manifest_path(e))) for e in self.committed_epochs()
+            json.loads(self._read_text(self._manifest_path(e)))
+            for e in self.committed_epochs()
         ]
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
-        paths = [
-            os.path.join(self.data_dir, f"epoch={e:010d}")
-            for e in self.committed_epochs()
-        ]
         non_empty = []
-        for p in paths:
-            if os.path.isdir(p) and any(
-                f.endswith(".parquet") for f in os.listdir(p)
-            ):
+        for e in self.committed_epochs():
+            p = f"{self.data_dir}/epoch={e:010d}"
+            if any(n.endswith(".parquet") for n, _ in self._list(p)):
                 non_empty.append(p)
         if not non_empty:
             from .stateful import ASSEMBLED_SCHEMA
