@@ -40,7 +40,49 @@ HEADLINE = [
     "pricing_summary",
     "top_revenue_orders",
     "knn_brute_cosine",
+    # round-2 additions
+    "messages_assembly",
+    "keep_top_fraction",
+    "normalize_en",
+    "ann_auto_cells",
 ]
+
+
+def ann_recall(spark, sf_dir: str, k: int = 3, nprobe: int = 3) -> dict:
+    """recall@k of the IVF paths vs the exact brute-force result on the
+    embeddings table (the accuracy side of the ANN speed/recall knob)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_mm_lrt_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.cache().count()
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = {
+        (r[0], r[1])
+        for r in similarity.knn_brute_cosine(emb, q, k=k)
+        .select("query_id", "neighbor_id").collect()
+    }
+    out = {}
+    cents = similarity.kmeans_fit(emb, k=10, n_iters=2)
+    for name, df in {
+        f"kmeans_nprobe{nprobe}": similarity.ann_ivf_multiprobe(
+            emb, q, cents, k=k, nprobe=nprobe
+        ),
+        "lsh_single_probe": similarity.ann_ivf_cosine(
+            similarity.lsh_cells(emb),
+            similarity.lsh_cells(q),
+            k=k,
+            cell_col="cell",
+        ),
+    }.items():
+        got = {
+            (r[0], r[1])
+            for r in df.select("query_id", "neighbor_id").collect()
+        }
+        out[name] = round(len(got & brute) / len(brute), 3)
+    emb.unpersist()
+    return out
 
 
 def sf_from_dir(d: str) -> float:
@@ -144,6 +186,7 @@ def main() -> None:
                     "sec": round(stream_sec, 3),
                     "turns_per_sec": round(n_turns / stream_sec, 1),
                 },
+                "ann_recall": ann_recall(spark, SF_DIR),
                 "cpus": int(CPUS),
             }
         )

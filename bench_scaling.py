@@ -97,11 +97,17 @@ def child(cpus: int, sf: float) -> None:
     from dataflow_mm_lrt_spark.streaming.skew import salted_turn_counts
     from dataflow_mm_lrt_spark.streaming.source import TRANSCRIPT_SCHEMA
 
+    extra = {"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)}
+    if os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "").lower() == "rocksdb":
+        extra["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        )
+        extra["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"] = "true"
     spark = build_session(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
