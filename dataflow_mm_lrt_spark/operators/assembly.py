@@ -123,6 +123,112 @@ def assemble_conversations_pandas(
     return df.groupBy(conv_col).applyInPandas(assemble, schema=out_schema)
 
 
+def assemble_with_modalities(
+    turns: DataFrame,
+    modalities: DataFrame,
+    conv_col: str = "conv_id",
+    system_prompt: str = SYSTEM_PROMPT,
+    strict: bool = True,
+) -> DataFrame:
+    """Conversation2Message with modality splicing
+    (conversation_to_message.py:75-95): each turn's ``<image>``/
+    ``<video>``/``<audio>`` tokens consume the conversation-level path
+    lists IN TURN ORDER; a token beyond the provided paths is a count
+    mismatch (the reference raises ValueError).
+
+    Distributed form: per-turn token counts, a prefix-sum window per
+    conversation gives each turn's start offset into the path arrays,
+    and ``slice()`` splices the paths — the sequential consumption
+    loop becomes one window + projection, no Python. ``modalities``:
+    (conv_col, image_paths, video_paths, audio_paths array<string>).
+
+    Output: (conv_col, messages array<struct<role, content
+    array<struct<type, ref, text>>>>, modality_mismatch bool).
+    ``strict=True`` validates eagerly and raises on any mismatch.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = turns.filter(F.col("role") != "system")
+    for m in ("image", "video", "audio"):
+        cnt = F.size(F.split(F.col("text"), f"<{m}>")) - 1
+        t = t.withColumn(f"_{m}_cnt", cnt).withColumn(
+            f"_{m}_off", F.coalesce(F.sum(f"_{m}_cnt").over(w), F.lit(0))
+        )
+    cleaned = F.expr(strip_multimodal_tokens_sql("spark", "text"))
+    t = t.join(modalities, conv_col)
+
+    def items(m: str) -> str:
+        # slice() is lenient past the end — the shortfall IS the
+        # mismatch signal (element_at would throw under ANSI mode)
+        return (
+            f"transform(slice({m}_paths, cast(_{m}_off as int) + 1, cast(_{m}_cnt as int)), "
+            f"p -> struct('{m}' as type, p as ref, cast(null as string) as text))"
+        )
+
+    content = F.expr(
+        "concat(" + ", ".join(items(m) for m in ("image", "video", "audio")) + ")"
+    )
+    text_item = F.expr(
+        "IF(_cleaned <> '', array(struct('text' as type, "
+        "cast(null as string) as ref, _cleaned as text)), "
+        "array())"
+    )
+    mismatch = F.expr(
+        " OR ".join(
+            f"(_{m}_off + _{m}_cnt > size({m}_paths))"
+            for m in ("image", "video", "audio")
+        )
+    )
+    rows = (
+        t.withColumn("_cleaned", cleaned)
+        .withColumn("_content", F.concat(content, text_item))
+        .withColumn("_mismatch", mismatch)
+        .select(
+            conv_col,
+            "turn_idx",
+            F.when(F.col("role") == "human", "user")
+            .otherwise("assistant")
+            .alias("_role"),
+            "_content",
+            "_mismatch",
+        )
+    )
+    sys_msg = (
+        "struct('system' as role, array(struct('text' as type, "
+        f"cast(null as string) as ref, {_sql_lit(system_prompt)} as text)) as content)"
+    )
+    out = (
+        rows.groupBy(conv_col)
+        .agg(
+            F.expr(
+                "concat("
+                f"array({sys_msg}), "
+                "transform(filter(array_sort(collect_list(struct(turn_idx, _role, _content))), "
+                "s -> size(s._content) > 0), "
+                "s -> struct(s._role as role, s._content as content)))"
+            ).alias("messages"),
+            F.max("_mismatch").alias("modality_mismatch"),
+        )
+    )
+    if strict:
+        bad = out.filter(F.col("modality_mismatch")).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"modality token count exceeds provided paths for "
+                f"{conv_col}={bad[0][conv_col]!r} (conversation_to_message.py:92)"
+            )
+    return out
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def assembled_text_sql(dialect: str) -> str:
     """Scalar form used for oracle comparison: the ordered
     'role: content' transcript of one conversation as a single string —

@@ -193,6 +193,42 @@ def conversation_to_messages(turns, system_prompt: str = "You are a helpful agen
     return messages
 
 
+def conversation_to_messages_with_modalities(
+    turns, modal_paths, system_prompt: str = "You are a helpful agent."
+):
+    """conversation_to_message.py:49-104 including modality splicing
+    (:75-95) for one conversation: each turn's modal tokens consume the
+    conversation-level path lists in turn order; a token past the end of
+    its list raises ValueError (reference :92). ``turns``: [(role, text)]
+    in turn order (source 'system' turns pre-filtered, as in the plain
+    path); ``modal_paths``: {"image": [...], "video": [...], "audio":
+    [...]}. Content items are typed dicts; the system message is wrapped
+    in the same typed-list shape for schema uniformity (the reference
+    leaves it a bare string — documented delta)."""
+    messages = [
+        {"role": "system", "content": [{"type": "text", "text": system_prompt}]}
+    ]
+    used = {"image": 0, "video": 0, "audio": 0}
+    for role, value in turns:
+        mapped = "user" if role == "human" else "assistant"
+        counts, cleaned = parse_multimodal_tokens(value)
+        content = []
+        for m in ("image", "video", "audio"):
+            for _ in range(counts[m]):
+                paths = modal_paths.get(m, [])
+                if used[m] < len(paths):
+                    content.append({"type": m, "ref": paths[used[m]]})
+                    used[m] += 1
+                else:
+                    raise ValueError(f"modality {m} token/path count mismatch")
+        if cleaned:
+            content.append({"type": "text", "text": cleaned})
+        if not content:
+            continue
+        messages.append({"role": mapped, "content": content})
+    return messages
+
+
 # ---------------------------------------------------------------------------
 # TextDuplicateFilter keep-first semantics — image_diversity_filter.py:20-34
 # (exact-match specialization used by the engine: a text is kept iff its

@@ -115,39 +115,43 @@ class ManifestSink:
     def is_committed(self, batch_id: int) -> bool:
         return self._exists(self._manifest_path(batch_id))
 
+    def _parquet_row_count(self, path: str) -> int:
+        """Row count from the parquet FOOTER (metadata only, any FS)."""
+        fs, P = self._jvm_fs()
+        jvm = SparkSession.getActiveSession()._jvm
+        conf = SparkSession.getActiveSession()._jsc.hadoopConfiguration()
+        in_file = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            P(path), conf
+        )
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(in_file)
+        try:
+            return reader.getRecordCount()
+        finally:
+            reader.close()
+
     def write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """foreachBatch body. Idempotent on replay of the same batch_id."""
         if self.is_committed(batch_id):
             return  # exactly-once: replayed epoch is a no-op
         epoch_dir = f"{self.data_dir}/epoch={batch_id:010d}"
 
-        # one materialization serves both the write and the lineage
-        # aggregate — no read-back of the files just written
-        batch_df.persist()
-        try:
-            batch_df.write.mode("overwrite").parquet(epoch_dir)
-            has_ts = "ts" in batch_df.columns
-            aggs = [F.count("*").alias("rows")]
-            if has_ts:
-                aggs += [F.min("ts").alias("ts_min"), F.max("ts").alias("ts_max")]
-            stats = (
-                batch_df.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(*aggs)
-                .collect()
-            )
-        finally:
-            batch_df.unpersist()
+        # epoch metrics ride along with the write job (observe = zero
+        # extra pass, zero caching); per-file rows come from the parquet
+        # FOOTERS afterwards (metadata-only reads, no data scanned)
+        from pyspark.sql import Observation
 
-        rows_by_pid = {r["pid"]: r["rows"] for r in stats}
-        n_rows = sum(rows_by_pid.values())
-        ts_min = ts_max = None
+        has_ts = "ts" in batch_df.columns
+        aggs = [F.count(F.lit(1)).alias("rows")]
         if has_ts:
-            mins = [r["ts_min"] for r in stats if r["ts_min"] is not None]
-            maxs = [r["ts_max"] for r in stats if r["ts_max"] is not None]
-            ts_min = min(mins) if mins else None
-            ts_max = max(maxs) if maxs else None
+            aggs += [F.min("ts").alias("ts_min"), F.max("ts").alias("ts_max")]
+        obs = Observation()
+        batch_df.observe(obs, *aggs).write.mode("overwrite").parquet(epoch_dir)
+        metrics = obs.get
+        n_rows = metrics["rows"]
+        ts_min = metrics.get("ts_min") if has_ts else None
+        ts_max = metrics.get("ts_max") if has_ts else None
 
-        # file lineage from the directory listing (metadata only);
+        # file lineage from the directory listing + footers;
         # part files encode their writing partition as part-<pid>-…
         lineage = []
         for name, size in sorted(self._list(epoch_dir)):
@@ -162,7 +166,7 @@ class ManifestSink:
                     "partition_id": pid,
                     "file": name,
                     "bytes": size,
-                    "rows": rows_by_pid.get(pid, 0),
+                    "rows": self._parquet_row_count(f"{epoch_dir}/{name}"),
                 }
             )
 
