@@ -273,6 +273,37 @@ FROM documents d
 """
 
 
+def q_tfidf_dedup(spark, sf_dir):
+    return dedup.tfidf_cosine_near_dup(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def sql_tfidf_dedup():
+    return """
+WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS term
+        FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+w AS (SELECT doc_id, tf.term, tf * (ln((1e0 + n.n) / (1e0 + df_t)) + 1e0) AS w
+      FROM tf JOIN dft USING (term) CROSS JOIN n),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+wn AS (SELECT w.doc_id, term, w / norm AS wn FROM w JOIN norms USING (doc_id)),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, round(sum(l.wn * r.wn), 6) AS cosine
+  FROM wn l JOIN wn r ON l.term = r.term AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+dups AS (SELECT id_b, round(max(cosine), 6) AS max_cosine FROM pairs
+         WHERE cosine >= 0.8 GROUP BY 1)
+SELECT d.doc_id, dups.id_b IS NOT NULL AS is_dup,
+       coalesce(dups.max_cosine, 0.0) AS max_cosine,
+       len(d.text) < 3 AS too_short
+FROM documents d LEFT JOIN dups ON d.doc_id = dups.id_b
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     return dedup.embedding_cosine_near_dup(
         _t(spark, sf_dir, "embeddings"), threshold=0.9
@@ -876,6 +907,72 @@ FROM nt GROUP BY conv_id
 """
 
 
+def q_modality_splice(spark, sf_dir):
+    """Conversation2Message modality splicing
+    (conversation_to_message.py:75-95): per-turn <image> tokens consume a
+    conversation-level path list in turn order; typed content items
+    serialized for value hashing."""
+    from .operators import assembly
+
+    turns = _conv_turns(spark, sf_dir)
+    modalities = (
+        turns.select("conv_id")
+        .distinct()
+        .withColumn(
+            "image_paths",
+            F.expr("transform(sequence(1, 4096), i -> concat('img', i))"),
+        )
+        .withColumn("video_paths", F.expr("cast(array() as array<string>)"))
+        .withColumn("audio_paths", F.expr("cast(array() as array<string>)"))
+    )
+    out = assembly.assemble_with_modalities(turns, modalities, strict=False)
+    return out.select(
+        "conv_id",
+        "modality_mismatch",
+        F.expr(
+            "array_join(transform(messages, m -> concat(m.role, '|', "
+            "array_join(transform(m.content, c -> concat(c.type, ':', "
+            "coalesce(c.ref, c.text))), '+'))), char(10))"
+        ).alias("messages_str"),
+    )
+
+
+def sql_modality_splice():
+    from .functions.normalize import strip_multimodal_tokens_sql
+    from .operators.assembly import SYSTEM_PROMPT
+
+    content = strip_multimodal_tokens_sql("duckdb", "text")
+    return f"""
+WITH t AS ({_CONV_TURNS_SQL}),
+nt AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN role = 'human' THEN 'user' ELSE 'assistant' END AS mrole,
+         CASE WHEN turn_idx % 13 = 0 OR turn_idx % 7 = 0 THEN 1 ELSE 0 END AS icnt,
+         {content} AS cleaned
+  FROM t WHERE role <> 'system'
+),
+off AS (
+  SELECT *, coalesce(sum(icnt) OVER (PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ioff
+  FROM nt
+),
+pieces AS (
+  SELECT conv_id, turn_idx,
+         mrole || '|' || array_to_string(
+           (CASE WHEN icnt = 1 THEN ['image:img' || (ioff + 1)] ELSE [] END)
+           || (CASE WHEN cleaned <> '' THEN ['text:' || cleaned] ELSE [] END),
+           '+') AS piece,
+         (icnt = 1 OR cleaned <> '') AS keep
+  FROM off
+)
+SELECT conv_id, false AS modality_mismatch,
+       'system|text:{SYSTEM_PROMPT}' ||
+       coalesce(chr(10) || string_agg(piece, chr(10) ORDER BY turn_idx)
+                FILTER (WHERE keep), '') AS messages_str
+FROM pieces GROUP BY conv_id
+"""
+
+
 def q_wiki_qa(spark, sf_dir):
     """WikiQARefiner parse (wiki_qa_refiner.py:22-79) over a
     deterministically constructed article+QA wrapper of each document."""
@@ -1058,6 +1155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_tfidf_cosine": q_tfidf_dedup,
     "tumbling_window": q_tumbling,
     "sliding_window": q_sliding,
     "session_window": q_session,
@@ -1079,6 +1177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "functional_refiner": q_functional_refiner,
     "keep_top_fraction": q_keep_top_fraction,
     "messages_assembly": q_messages_assembly,
+    "modality_splice": q_modality_splice,
     "wiki_qa_refiner": q_wiki_qa,
     "answer_eval": q_answer_eval,
     "mcts_tree_refiner": q_mcts_chains,
@@ -1098,6 +1197,7 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": sql_dedup_minhash(),
     "dedup_ngram_jaccard": sql_dedup_ngram(),
     "dedup_simhash": sql_dedup_simhash(),
+    "dedup_tfidf_cosine": sql_tfidf_dedup(),
     "tumbling_window": sql_tumbling(),
     "sliding_window": sql_sliding(),
     "session_window": sql_session(),
@@ -1119,6 +1219,7 @@ ORACLES: dict[str, str] = {
     "functional_refiner": sql_functional_refiner(),
     "keep_top_fraction": sql_keep_top_fraction(),
     "messages_assembly": sql_messages_assembly(),
+    "modality_splice": sql_modality_splice(),
     "wiki_qa_refiner": sql_wiki_qa(),
     "answer_eval": sql_answer_eval(),
     "mcts_tree_refiner": sql_mcts_chains(),

@@ -246,6 +246,86 @@ def ngram_jaccard(
     )
 
 
+def tfidf_cosine_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The reference's ACTUAL near-dup metric — TF-IDF cosine ≥ τ
+    (TextDuplicateFilter, image_diversity_filter.py:20-34: sklearn
+    TfidfVectorizer + cosine_similarity, keep-first) — as a distributed
+    inverted-index join.
+
+    Formula matches TfidfVectorizer defaults: tokens = maximal
+    word-char runs of length ≥2 on lowercased text; idf =
+    ln((1+n)/(1+df)) + 1 (smooth); weights l2-normalized, so cosine =
+    dot of normalized vectors. Documented generalizations of the
+    sequential reference: idf is corpus-global (the reference refits on
+    its growing last-10k window per row, which no parallel engine can
+    reproduce and which makes its own output order-dependent), and a
+    pair is compared regardless of distance in the order (the reference
+    only checks the trailing 10 000 texts). "Later id of a matching
+    pair is the duplicate" keeps first occurrences, like every dedup
+    here. Rows shorter than 3 chars are flagged ``too_short`` (the
+    reference drops them outright, :21-22).
+
+    Output: (id_col, is_dup, max_cosine, too_short). Everything stays
+    in Catalyst: explode → weight join → pair dot products. At 100 TB,
+    cap ultra-high-df terms or route candidates through MinHash before
+    the pair join (Bayardo et al., WWW'07 prefix filtering is the exact
+    variant); left exact here because the oracle is exact.
+    """
+    n = df.count()
+    toks = f"regexp_extract_all(lower({text_col}), '[a-z0-9_]{{2,}}', 0)"
+    tf = (
+        _spread(df)
+        .select(id_col, F.explode(F.expr(toks)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    w = tf.join(df_t, "term").withColumn(
+        "w", F.expr(f"tf * (ln((1e0 + {n}) / (1e0 + df_t)) + 1e0)")
+    )
+    norms = w.groupBy(id_col).agg(F.expr("sqrt(sum(w * w))").alias("norm"))
+    wn = w.join(norms, id_col).select(
+        id_col, "term", (F.col("w") / F.col("norm")).alias("wn")
+    )
+    l, r = wn.alias("l"), wn.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.term") == F.col("r.term"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.round(F.sum(F.expr("l.wn * r.wn")), 6).alias("cosine"))
+    )
+    dups = (
+        pairs.filter(F.col("cosine") >= threshold)
+        .groupBy("id_b")
+        .agg(F.round(F.max("cosine"), 6).alias("max_cosine"))
+        .withColumn("is_dup", F.lit(True))
+        .withColumnRenamed("id_b", id_col)
+    )
+    return (
+        df.select(id_col, F.length(text_col).alias("_len"))
+        .join(dups, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            F.coalesce("max_cosine", F.lit(0.0)).alias("max_cosine"),
+            (F.col("_len") < 3).alias("too_short"),
+        )
+    )
+
+
 def embedding_cosine_near_dup(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -54,6 +54,19 @@ def build_session(
         # semantics match a UTC-naive oracle
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
+        # RocksDB state store: keeps stateful-operator state off the JVM
+        # heap (no GC ceiling at high parallelism) and scales to state
+        # far beyond memory. Measured (BENCH/BASELINE.md): 8→32-core
+        # streaming efficiency 0.72 → 1.07 and +39% absolute throughput
+        # at 32 cores vs the default HDFSBacked provider.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -40,6 +40,12 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
+    if name not in ORACLES:
+        # deliberately oracle-less (iterative ops): the driver records a
+        # rows-only check — assert the query runs and returns rows
+        out = QUERIES[name](spark, SF_DIR)
+        assert out.count() > 0
+        return
     got = QUERIES[name](spark, SF_DIR).toPandas()
     exp = duck.sql(ORACLES[name]).df()
     assert sorted(got.columns) == sorted(exp.columns), (

@@ -63,6 +63,26 @@ def test_streaming_pipeline_uses_arrow_state_node(spark):
     assert "ArrowEvalPython" not in plan  # fully native prefix
 
 
+def test_keep_fraction_has_no_single_partition_sort(spark):
+    """Round-1 scale-killer regression: the keep-ratio selection must not
+    funnel all rows through one task. The physical plans of the final
+    selection stages may not contain a single-partition exchange or a
+    global sort (Window over the quantile band key is keyed, fine)."""
+    from dataflow_mm_lrt_spark.operators.ranking import keep_top_fraction
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = keep_top_fraction(ev, "value", keep_ratio=0.5, tie_col="event_id")
+    plan = _plan(out)
+    # a partition-less Window.orderBy lowers to Exchange SinglePartition —
+    # its absence proves the selection stays distributed
+    assert "Exchange SinglePartition" not in plan, plan
+
+    from dataflow_mm_lrt_spark.contract import QUERIES as Q
+
+    plan2 = _plan(Q["knn_uniqueness_filter"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan2, plan2
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """bucket(conv_id) layout alignment: a join of two tables bucketed on
     the same key runs without Exchange on either side."""
