@@ -601,6 +601,149 @@ QUALIFY row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custke
 
 
 # ---------------------------------------------------------------------------
+# temporal joins / relational checklist extras
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (net-new temporal operator, operators/joins.py): each
+    purchase matched to the user's most recent prior-or-equal view."""
+    from .operators import joins
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    out = joins.asof_join(purchases, views, key_cols=["user_id"], ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("view_id_right").alias("view_id"),
+        F.col("ts_right").cast("timestamp").cast("long").alias("view_epoch"),
+    )
+
+
+def sql_asof_join():
+    return """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, v.view_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """Keyed interval (range) join: signup followed by any purchase of
+    the same user within 30 minutes."""
+    from .operators import joins
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = joins.interval_join(
+        signups, purchases, key_cols=["user_id"], lo_seconds=0, hi_seconds=1800
+    )
+    return out.select("event_id", "user_id", F.col("purchase_id_right").alias("purchase_id"))
+
+
+def sql_interval_join():
+    return """
+SELECT s.event_id, s.user_id, p.event_id AS purchase_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id
+ AND floor(epoch(p.ts)) >= floor(epoch(s.ts))
+ AND floor(epoch(p.ts)) <= floor(epoch(s.ts)) + 1800
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary plumbing (operators/multimodal.py): documents
+    encoded to binary content, Arrow mapInPandas feature stage with the
+    deterministic fake codec; byte counts + feature shape are the
+    SQL-checkable surface."""
+    from .operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(16).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(1000).alias("duration_ms"),
+    )
+    out = multimodal.extract_features(media, fake=True)
+    return out.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.size("feature").cast("long").alias("feature_dim"),
+    )
+
+
+def sql_multimodal_features():
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(8 AS BIGINT) AS feature_dim
+FROM documents
+"""
+
+
+def q_pagination(spark, sf_dir):
+    """ORDER BY + LIMIT/OFFSET (storage.py:366 shape) — page 3 of the
+    value-ranked events."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .offset(100)
+        .limit(50)
+        .select("event_id", "value")
+    )
+
+
+def sql_pagination():
+    return """
+SELECT event_id, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 50 OFFSET 100
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT (distinct set semantics): users who both
+    viewed and purchased but never errored."""
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errored = ev.filter(F.col("event_type") == "error").select("user_id")
+    return viewers.intersect(buyers).exceptAll(errored.distinct())
+
+
+def sql_set_ops():
+    return """
+SELECT user_id FROM events WHERE event_type = 'view'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
 # similarity over `embeddings`
 # ---------------------------------------------------------------------------
 
@@ -1182,6 +1325,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "answer_eval": q_answer_eval,
     "mcts_tree_refiner": q_mcts_chains,
     "normalize_en": q_normalize_en,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
+    "multimodal_features": q_multimodal_features,
+    "pagination": q_pagination,
+    "set_ops": q_set_ops,
     "ann_lsh_cells": q_ann_lsh_cells,
     "ann_auto_cells": q_ann_auto_cells,
     "kmeans_cells": q_kmeans_cells,
@@ -1224,6 +1372,11 @@ ORACLES: dict[str, str] = {
     "answer_eval": sql_answer_eval(),
     "mcts_tree_refiner": sql_mcts_chains(),
     "normalize_en": sql_normalize_en(),
+    "asof_join": sql_asof_join(),
+    "interval_join": sql_interval_join(),
+    "multimodal_features": sql_multimodal_features(),
+    "pagination": sql_pagination(),
+    "set_ops": sql_set_ops(),
     "ann_lsh_cells": sql_ann_lsh_cells(),
     "ann_auto_cells": sql_ann_auto_cells(),
     # kmeans_cells: iterative operator, deliberately no SQL oracle

@@ -1,0 +1,113 @@
+"""Temporal joins Spark lacks as built-ins: as-of and interval (range).
+
+The reference has no table joins at all (SURVEY.md §2.9 — its only
+cross-row association is Conversation2Message's positional modality
+splice); these are the net-new temporal-join operators a transcript /
+event engine needs, expressed so Catalyst keeps them shuffle-minimal.
+
+* ``asof_join`` — for each left row, the most recent right row with
+  ``right.ts <= left.ts`` per key (pandas ``merge_asof`` / kdb ``aj``
+  semantics). NOT implemented as a join: a theta-join on ``ts <=`` would
+  explode to a per-key cross product and then need a rank filter. The
+  union-scan form is one shuffle + one in-partition sort: tag both
+  sides, sort (key, ts, side), carry the last right value forward with
+  ``last(..., ignoreNulls=True)``, keep left rows. Cost is
+  ``sort(|L|+|R|)`` per key — the optimal single-pass plan.
+* ``interval_join`` — pairs (l, r) sharing a key with ``r.ts`` in
+  ``[l.ts + lo, l.ts + hi]``. Equi-join on the key plus the range
+  predicate; AQE handles key skew. For key-less range joins, bucketize
+  time into ``hi - lo`` buckets first (not needed for the keyed
+  transcript shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every left row + the latest right row at or
+    before its timestamp (per key); unmatched → nulls. ``tolerance``
+    voids matches older than the bound (merge_asof's ``tolerance``)."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (*key_cols, ts_col)
+    ]
+    l_tagged = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast("timestamp").alias("_r_ts"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r_tagged = right.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.col(ts_col).cast("timestamp").alias("_r_ts"),
+        F.lit(None)
+        .cast(l_tagged.schema["_l"].dataType)
+        .alias("_l"),
+    )
+    # right sorts before left at equal ts (_side 0 < 1) → inclusive <=
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in value_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
+    )
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col(ts_col).cast("timestamp").cast("long")
+            - F.col("_m_ts").cast("long")
+        ) <= tolerance_seconds
+        for c in value_cols:
+            out = out.withColumn(
+                f"_m_{c}", F.when(in_tol, F.col(f"_m_{c}"))
+            )
+        out = out.withColumn("_m_ts", F.when(in_tol, F.col("_m_ts")))
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("_m_ts").alias(f"{ts_col}{suffix}"),
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    lo_seconds: int = 0,
+    hi_seconds: int = 1800,
+    suffix: str = "_right",
+) -> DataFrame:
+    """All (l, r) pairs sharing the key with r.ts ∈ [l.ts+lo, l.ts+hi]."""
+    lts = F.col(f"l.{ts_col}").cast("timestamp").cast("long")
+    rts = F.col(f"r.{ts_col}").cast("timestamp").cast("long")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in key_cols]
+    cond += [rts >= lts + lo_seconds, rts <= lts + hi_seconds]
+    l, r = left.alias("l"), right.alias("r")
+    r_cols = [c for c in right.columns if c not in key_cols]
+    return l.join(r, cond).select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"{c}{suffix}") for c in r_cols],
+    )
