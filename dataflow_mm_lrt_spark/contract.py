@@ -1050,6 +1050,47 @@ FROM nt GROUP BY conv_id
 """
 
 
+# zh snippets exercising banjiao, fillers, whitelist-protected erhua and
+# CJK/ASCII punctuation→space; expected outputs are fixed constants
+# (documents text is pure [a-z0-9 ] at every sf, so it passes through)
+_ZH_CASES = [
+    ("他女儿在那边儿，好吗", "他女儿在那边 好吗"),
+    ("呃这个啊很好！", "这个很好 "),
+    ("ＡＢＣ１２３：ｄｅｆ", "ABC123 def"),
+    ("儿童节快乐", "儿童节快乐"),
+    ("台儿庄战役在哪儿", "台儿庄战役在哪"),
+]
+
+
+def q_normalize_zh(spark, sf_dir):
+    """TextNormalizer zh path (cn_tn.TextNorm structural subset) — see
+    operators/refine.chinese_normalize_text."""
+    from .operators import refine
+
+    k = len(_ZH_CASES)
+    snips = ", ".join(DIALECT_SPARK.lit(s) for s, _ in _ZH_CASES)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_zh_text",
+        F.expr(
+            f"concat(element_at(array({snips}), cast(doc_id % {k} as int) + 1), ' ', text)"
+        ),
+    )
+    out = refine.chinese_normalize_text(docs, text_col="_zh_text")
+    return out.select("doc_id", "text_norm")
+
+
+def sql_normalize_zh():
+    k = len(_ZH_CASES)
+    whens = " ".join(
+        f"WHEN {i} THEN {DIALECT_DUCKDB.lit(exp)}"
+        for i, (_, exp) in enumerate(_ZH_CASES)
+    )
+    return (
+        f"SELECT doc_id, (CASE doc_id % {k} {whens} END) || ' ' || text AS text_norm "
+        "FROM documents"
+    )
+
+
 def q_modality_splice(spark, sf_dir):
     """Conversation2Message modality splicing
     (conversation_to_message.py:75-95): per-turn <image> tokens consume a
@@ -1325,6 +1366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "answer_eval": q_answer_eval,
     "mcts_tree_refiner": q_mcts_chains,
     "normalize_en": q_normalize_en,
+    "normalize_zh": q_normalize_zh,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
     "multimodal_features": q_multimodal_features,
@@ -1372,6 +1414,7 @@ ORACLES: dict[str, str] = {
     "answer_eval": sql_answer_eval(),
     "mcts_tree_refiner": sql_mcts_chains(),
     "normalize_en": sql_normalize_en(),
+    "normalize_zh": sql_normalize_zh(),
     "asof_join": sql_asof_join(),
     "interval_join": sql_interval_join(),
     "multimodal_features": sql_multimodal_features(),

@@ -155,6 +155,39 @@ def english_normalize_text(
     return df.withColumn(out_col, F.expr(english_normalize_sql("spark", text_col)))
 
 
+def chinese_normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    to_banjiao: bool = True,
+    remove_fillers: bool = True,
+    remove_erhua: bool = True,
+    remove_space: bool = False,
+) -> DataFrame:
+    """TextNormalizer's ``language="zh"`` path (audio_text_normalizer.py:
+    32-41 → cn_tn.TextNorm): rule-driven subset via the tested port
+    inside an Arrow-batched pandas UDF (the erhua whitelist scan is a
+    sequential string loop — not expressible as SQL; see
+    oracle/cn_tn_port.py for the scoped-out number verbalizer)."""
+    from pyspark.sql.types import StringType
+
+    from ..oracle.cn_tn_port import text_norm_zh
+
+    @F.pandas_udf(StringType())
+    def _norm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: text_norm_zh(
+                t,
+                to_banjiao=to_banjiao,
+                remove_fillers=remove_fillers,
+                do_remove_erhua=remove_erhua,
+                do_remove_space=remove_space,
+            )
+        )
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
 def wiki_qa_refiner(
     df: DataFrame,
     text_col: str = "text",
