@@ -12,7 +12,11 @@ event engine needs, expressed so Catalyst keeps them shuffle-minimal.
   union-scan form is one shuffle + one in-partition sort: tag both
   sides, sort (key, ts, side), carry the last right value forward with
   ``last(..., ignoreNulls=True)``, keep left rows. Cost is
-  ``sort(|L|+|R|)`` per key — the optimal single-pass plan.
+  ``sort(|L|+|R|)`` per key — the optimal single-pass plan. A pathological
+  hot key serializes its own sort (like any keyed window); the scale
+  remedy is time-slicing the hot key's partition and carrying the last
+  right value across slice boundaries (two passes) — not needed at the
+  transcript key cardinalities this engine targets.
 * ``interval_join`` — pairs (l, r) sharing a key with ``r.ts`` in
   ``[l.ts + lo, l.ts + hi]``. Equi-join on the key plus the range
   predicate; AQE handles key skew. For key-less range joins, bucketize

@@ -92,6 +92,84 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int = 224, height: int = 224, fake: bool = False
+) -> DataFrame:
+    """1→1 resize stage (mapInPandas): same Arrow contract as a real
+    image decode+resize; the fake body derives width*height deterministic
+    bytes from the content digest."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for c in pdf["content"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "image codecs unavailable in this container; fake=True"
+                    )
+                digest = hashlib.md5(c or b"").digest()
+                reps = (width * height) // len(digest) + 1
+                out.append((digest * reps)[: width * height])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, fake: bool = False
+) -> DataFrame:
+    """1→N frame sampling (UDTF shape, mapInPandas): each video row
+    yields ``n_frames`` frame rows; non-video rows pass through as a
+    single frame 0."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, contents = [], [], []
+            for mid, kind, c in zip(pdf["media_id"], pdf["kind"], pdf["content"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "video codecs unavailable in this container; fake=True"
+                    )
+                k = n_frames if kind == "video" else 1
+                for i in range(k):
+                    digest = hashlib.md5((c or b"") + bytes([i])).digest()
+                    ids.append(mid)
+                    idxs.append(i)
+                    contents.append(digest)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "content": contents}
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def fake_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic binary media fixture."""
     rows = pd.DataFrame(

@@ -116,3 +116,33 @@ def test_multimodal_real_decode_raises(spark):
         raise AssertionError("expected NotImplementedError from codec stub")
     except Exception as e:  # Py4J wraps the worker exception
         assert "NotImplementedError" in str(e) or "media codecs" in str(e)
+
+
+def test_multimodal_resize_stub(spark):
+    media = multimodal.fake_media_df(spark, n=12)
+    out = multimodal.resize_media(media, 8, 8, fake=True).collect()
+    assert len(out) == 12
+    assert all(len(r["content"]) == 64 for r in out)
+    assert all((r["width"], r["height"]) == (8, 8) for r in out)
+
+
+def test_multimodal_frame_sampling_one_to_n(spark):
+    media = multimodal.fake_media_df(spark, n=12)
+    vids = media.filter("kind = 'video'").count()
+    out = multimodal.sample_frames(media, n_frames=3, fake=True)
+    rows = out.collect()
+    # 1→N for videos, 1→1 pass-through otherwise; deterministic
+    assert len(rows) == vids * 3 + (12 - vids)
+    assert [tuple(r) for r in rows] == [tuple(r) for r in out.collect()]
+
+
+def test_multimodal_codec_gates_raise(spark):
+    import pytest as _pytest
+
+    media = multimodal.fake_media_df(spark, n=3)
+    for op in (
+        lambda: multimodal.resize_media(media, 8, 8, fake=False).collect(),
+        lambda: multimodal.sample_frames(media, fake=False).collect(),
+    ):
+        with _pytest.raises(Exception, match="codecs unavailable"):
+            op()

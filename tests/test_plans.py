@@ -83,6 +83,18 @@ def test_keep_fraction_has_no_single_partition_sort(spark):
     assert "Exchange SinglePartition" not in plan2, plan2
 
 
+def test_asof_join_is_union_scan_not_theta_join(spark):
+    """asof_join must lower to union + keyed window — never a theta join
+    (BroadcastNestedLoopJoin / CartesianProduct), whose per-key cross
+    product is the scale failure mode it exists to avoid."""
+    from dataflow_mm_lrt_spark.contract import QUERIES as Q
+
+    plan = _plan(Q["asof_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Union" in plan and "Window" in plan, plan
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """bucket(conv_id) layout alignment: a join of two tables bucketed on
     the same key runs without Exchange on either side."""
