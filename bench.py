@@ -45,6 +45,10 @@ HEADLINE = [
     "keep_top_fraction",
     "normalize_en",
     "ann_auto_cells",
+    "dedup_tfidf_cosine",
+    "asof_join",
+    "interval_join",
+    "modality_splice",
 ]
 
 
