@@ -1104,7 +1104,7 @@ def q_modality_splice(spark, sf_dir):
         .distinct()
         .withColumn(
             "image_paths",
-            F.expr("transform(sequence(1, 4096), i -> concat('img', i))"),
+            F.expr("transform(sequence(1, 512), i -> concat('img', i))"),
         )
         .withColumn("video_paths", F.expr("cast(array() as array<string>)"))
         .withColumn("audio_paths", F.expr("cast(array() as array<string>)"))
