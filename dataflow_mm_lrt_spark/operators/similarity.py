@@ -249,7 +249,6 @@ def kmeans_assign(
     df: DataFrame,
     k: int = 10,
     n_iters: int = 2,
-    dim: int = 64,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     cell_col: str = "cell",
