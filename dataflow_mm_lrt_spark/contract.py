@@ -743,6 +743,62 @@ SELECT user_id FROM events WHERE event_type = 'error'
 """
 
 
+def q_hypertable_rollup(spark, sf_dir):
+    """Multi-resolution continuous-aggregate rollup (one raw pass at the
+    finest level, coarser levels from partials — operators/rollup.py)."""
+    from .operators import rollup
+
+    return rollup.hypertable_rollup(_t(spark, sf_dir, "events"))
+
+
+def sql_hypertable_rollup():
+    return """
+WITH fine AS (
+  SELECT CAST(floor(epoch(ts) / 60) * 60 AS BIGINT) AS bucket_start,
+         event_type AS key, count(*) AS n, sum(value) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT '1 minute' AS resolution, bucket_start, key,
+       n AS n_events, round(s, 6) AS sum_value FROM fine
+UNION ALL
+SELECT '1 hour', CAST(floor(bucket_start / 3600) * 3600 AS BIGINT), key,
+       sum(n), round(sum(s), 6) FROM fine GROUP BY 2, 3
+UNION ALL
+SELECT '1 day', CAST(floor(bucket_start / 86400) * 86400 AS BIGINT), key,
+       sum(n), round(sum(s), 6) FROM fine GROUP BY 2, 3
+"""
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per event type (deterministic synopsis —
+    the sketch whose estimate two engines can value-hash; k=16 < the
+    true ~150 distinct users so the estimator path is exercised)."""
+    from .operators import rollup
+
+    out = rollup.kmv_distinct(
+        _t(spark, sf_dir, "events"),
+        col="cast(user_id as string)",
+        k=16,
+        by="event_type",
+    )
+    return out.select("event_type", "n_hashes", "kth_min", "distinct_est")
+
+
+def sql_kmv_distinct():
+    h = md5_int_sql("duckdb", "CAST(user_id AS VARCHAR)")
+    two60 = float(1 << 60)
+    return f"""
+WITH h AS (SELECT DISTINCT event_type, {h} AS hv FROM events),
+kmv AS (SELECT event_type, (list_sort(list(hv)))[1:16] AS s FROM h GROUP BY 1)
+SELECT event_type,
+       CAST(len(s) AS BIGINT) AS n_hashes,
+       s[len(s)] AS kth_min,
+       CASE WHEN len(s) < 16 THEN CAST(len(s) AS DOUBLE)
+            ELSE round(15 * {two60!r} / s[16], 6) END AS distinct_est
+FROM kmv
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity over `embeddings`
 # ---------------------------------------------------------------------------
@@ -1372,6 +1428,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "pagination": q_pagination,
     "set_ops": q_set_ops,
+    "hypertable_rollup": q_hypertable_rollup,
+    "kmv_distinct": q_kmv_distinct,
     "ann_lsh_cells": q_ann_lsh_cells,
     "ann_auto_cells": q_ann_auto_cells,
     "kmeans_cells": q_kmeans_cells,
@@ -1420,6 +1478,8 @@ ORACLES: dict[str, str] = {
     "multimodal_features": sql_multimodal_features(),
     "pagination": sql_pagination(),
     "set_ops": sql_set_ops(),
+    "hypertable_rollup": sql_hypertable_rollup(),
+    "kmv_distinct": sql_kmv_distinct(),
     "ann_lsh_cells": sql_ann_lsh_cells(),
     "ann_auto_cells": sql_ann_auto_cells(),
     # kmeans_cells: iterative operator, deliberately no SQL oracle
