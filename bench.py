@@ -49,6 +49,8 @@ HEADLINE = [
     "asof_join",
     "interval_join",
     "modality_splice",
+    "hypertable_rollup",
+    "kmv_distinct",
 ]
 
 
