@@ -762,10 +762,10 @@ SELECT '1 minute' AS resolution, bucket_start, key,
        n AS n_events, round(s, 6) AS sum_value FROM fine
 UNION ALL
 SELECT '1 hour', CAST(floor(bucket_start / 3600) * 3600 AS BIGINT), key,
-       sum(n), round(sum(s), 6) FROM fine GROUP BY 2, 3
+       CAST(sum(n) AS BIGINT), round(sum(s), 6) FROM fine GROUP BY 2, 3
 UNION ALL
 SELECT '1 day', CAST(floor(bucket_start / 86400) * 86400 AS BIGINT), key,
-       sum(n), round(sum(s), 6) FROM fine GROUP BY 2, 3
+       CAST(sum(n) AS BIGINT), round(sum(s), 6) FROM fine GROUP BY 2, 3
 """
 
 
@@ -924,11 +924,83 @@ QUALIFY rank <= {KNN_K}
 
 def q_kmeans_cells(spark, sf_dir):
     """IVF coarse-quantizer training (k-means-lite, 2 Lloyd steps,
-    deterministic init). Iterative — no single SQL oracle exists; the
-    driver records the weaker rows-only check, and unit tests diff the
-    assignment against a NumPy reference implementation."""
+    deterministic init). Because n_iters is a fixed constant, the whole
+    fit unrolls into straight-line SQL — so the oracle below replays
+    the identical Lloyd recursion in DuckDB (init = vectors of the k
+    smallest ids; assign = argmin squared distance, ties → lower cell;
+    update = per-dimension mean, empty cells keep their centroid).
+    Centroid literals round-trip exactly (``_dlit`` uses .17e)."""
     out = similarity.kmeans_assign(_t(spark, sf_dir, "embeddings"), k=10, n_iters=2)
     return out.select("vec_id", F.col("cell").cast("long").alias("cell"))
+
+
+def sql_kmeans_cells(k: int = 10, n_iters: int = 2):
+    """The engine's 2-step Lloyd fit, unrolled as DuckDB CTEs. Each
+    iteration is (assign → per-dim mean → coalesce empty cells); the
+    final SELECT is the assignment against the last centroids."""
+    dist = "list_sum(list_transform(list_zip(b.emb, c.cent), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+
+    def assign(cent_cte: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, emb, cell FROM (
+    SELECT b.vec_id, b.emb, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {dist} ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN {cent_cte} c
+  ) WHERE rn = 1
+)"""
+
+    def update(assign_cte: str, prev_cte: str, name: str) -> str:
+        return f"""{name}_m AS (
+  SELECT cell, list(m ORDER BY pos) AS cent FROM (
+    SELECT cell, pos, avg(v) AS m FROM (
+      SELECT cell, unnest(emb) AS v, unnest(range(1, len(emb) + 1)) AS pos
+      FROM {assign_cte}
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+),
+{name} AS (
+  SELECT p.cell, coalesce(m.cent, p.cent) AS cent
+  FROM {prev_cte} p LEFT JOIN {name}_m m ON p.cell = m.cell
+)"""
+
+    ctes = [
+        """base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, emb AS cent
+  FROM (SELECT vec_id, emb FROM base ORDER BY vec_id LIMIT {k})
+)""",
+    ]
+    prev = "c0"
+    for i in range(1, n_iters + 1):
+        ctes.append(assign(prev, f"a{i}"))
+        ctes.append(update(f"a{i}", prev, f"c{i}"))
+        prev = f"c{i}"
+    ctes.append(assign(prev, "final"))
+    return "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM final"
+
+
+def q_role_tool_filter(spark, sf_dir):
+    """Role/tool whitelist predicate (the explicit form of the implicit
+    role selection in conversation_to_message.py:76-102): keep
+    system/human/gpt turns plus tool turns whose tool is whitelisted."""
+    from .operators import text as text_ops
+
+    out = text_ops.role_tool_filter(
+        _role_tool_turns(spark, sf_dir),
+        roles=("system", "human", "gpt"),
+        keep_tools=("click", "view"),
+    )
+    return out.select("conv_id", "turn_idx", "role", "tool")
+
+
+def sql_role_tool_filter():
+    return f"""
+WITH t AS ({_ROLE_TOOL_TURNS_SQL})
+SELECT conv_id, turn_idx, role, tool FROM t
+WHERE role IN ('system', 'human', 'gpt')
+   OR (role = 'tool' AND tool IN ('click', 'view'))
+"""
 
 
 def q_embedding_norms(spark, sf_dir):
@@ -1067,6 +1139,36 @@ SELECT user_id AS conv_id, event_id AS turn_idx,
             ELSE event_type END AS text
 FROM events
 """
+
+
+_ROLE_TOOL_TURNS_SQL = """
+SELECT user_id AS conv_id, event_id AS turn_idx,
+       CASE WHEN event_id % 4 = 0 THEN 'human'
+            WHEN event_id % 4 = 1 THEN 'gpt'
+            WHEN event_id % 4 = 2 THEN 'tool' ELSE 'system' END AS role,
+       CASE WHEN event_id % 4 = 2 THEN event_type END AS tool
+FROM events
+"""
+
+
+def _role_tool_turns(spark, sf_dir):
+    """Transcript with a tool-call lane (roles cycle human/gpt/tool/
+    system; tool turns carry the event type as the tool name) — the
+    input shape of conversation_to_message.py's role selection."""
+    ev = _t(spark, sf_dir, "events")
+    role = (
+        F.when(F.col("event_id") % 4 == 0, "human")
+        .when(F.col("event_id") % 4 == 1, "gpt")
+        .when(F.col("event_id") % 4 == 2, "tool")
+        .otherwise("system")
+    )
+    tool = F.when(F.col("event_id") % 4 == 2, F.col("event_type"))
+    return ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        role.alias("role"),
+        tool.alias("tool"),
+    )
 
 
 def q_messages_assembly(spark, sf_dir):
@@ -1433,6 +1535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_cells": q_ann_lsh_cells,
     "ann_auto_cells": q_ann_auto_cells,
     "kmeans_cells": q_kmeans_cells,
+    "role_tool_filter": q_role_tool_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -1482,7 +1585,10 @@ ORACLES: dict[str, str] = {
     "kmv_distinct": sql_kmv_distinct(),
     "ann_lsh_cells": sql_ann_lsh_cells(),
     "ann_auto_cells": sql_ann_auto_cells(),
-    # kmeans_cells: iterative operator, deliberately no SQL oracle
+    # kmeans_cells: n_iters is a fixed constant, so the Lloyd recursion
+    # unrolls into straight-line SQL — a full value oracle after all
+    "kmeans_cells": sql_kmeans_cells(),
+    "role_tool_filter": sql_role_tool_filter(),
 }
 
 

@@ -116,8 +116,10 @@ def knn_uniqueness_filter(
 def _dlit(v: float) -> str:
     """A float as a dialect-neutral SQL DOUBLE literal (scientific
     notation parses as double in both Spark and DuckDB; bare decimals
-    would be DECIMAL in both)."""
-    return f"{float(v):.10e}"
+    would be DECIMAL in both). ``.17e`` round-trips IEEE doubles
+    exactly, so inlined centroids/planes carry zero quantization error
+    — a prerequisite for the dual-dialect kmeans oracle."""
+    return f"{float(v):.17e}"
 
 
 def lsh_hyperplanes(n_planes: int = 4, dim: int = 64, seed: int = 42):
