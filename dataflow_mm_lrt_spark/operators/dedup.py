@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import scoped_persist
+
 from ..functions.hashing import md5_int_sql, minhash_coeffs, perm_hash_sql, shingles_sql
 from ..functions.normalize import fingerprint_sql
 
@@ -172,7 +174,9 @@ def ngram_jaccard(
         .select(id_col, F.expr(sh).alias("shingles"))
         .withColumn("n_sh", F.size("shingles"))
     )
-    base = base.persist()
+    # plan-reuse cache (base feeds the inverted index, the prefixes and
+    # the verification sets); caller-releasable via cache.release_all()
+    base = scoped_persist(base)
 
     inv = base.select(id_col, F.explode("shingles").alias("shingle"))
     shingle_df = inv.groupBy("shingle").agg(F.count("*").alias("df_cnt"))
@@ -293,7 +297,9 @@ def tfidf_cosine_near_dup(
     wn = w.join(norms, id_col).select(
         id_col, "term", (F.col("w") / F.col("norm")).alias("wn")
     )
-    wn = wn.persist()
+    # serves the vocab probe + dense collect AND the sparse-regime
+    # self-join; caller-releasable via cache.release_all()
+    wn = scoped_persist(wn)
 
     # Two exact regimes, chosen by measured vocabulary size (a bounded
     # driver-side listing, like approxQuantile):
@@ -409,27 +415,13 @@ def embedding_cosine_near_dup(
     image_deduplication_filter.py:122-157: all-pairs cosine ≥ τ marks the
     later id as duplicate, keep first), restricted to a coarse cell
     (IVF-style) so the pair space is per-cell instead of corpus-wide —
-    the layout that scales. Returns (id_col, is_dup, max_cosine)."""
-    l = df.select(
-        F.col(id_col).alias("id_a"), F.col(cell_col).alias("cell"),
-        F.col("embedding"),
-    ).alias("q")
-    r = df.select(
-        F.col(id_col).alias("id_b"), F.col(cell_col).alias("cell"),
-        F.col("embedding"),
-    ).alias("c")
-    cos = (
-        "round(aggregate(zip_with(q.embedding, c.embedding, (x, y) -> cast(x as double) * cast(y as double)), "
-        "0d, (acc, v) -> acc + v) / "
-        "(sqrt(aggregate(q.embedding, 0d, (acc, v) -> acc + cast(v as double) * cast(v as double))) * "
-        "sqrt(aggregate(c.embedding, 0d, (acc, v) -> acc + cast(v as double) * cast(v as double)))), 6)"
-    )
-    pairs = (
-        l.join(r, (F.col("q.cell") == F.col("c.cell"))
-               & (F.col("q.id_a") < F.col("c.id_b")))
-        .select("id_a", "id_b", F.expr(cos).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    the layout that scales. Pair scoring is a salted per-cell GEMM
+    (gemm.cell_dup_pairs — round-2 measured ~10× over the interpreted
+    zip_with/aggregate pair expression). Returns (id_col, is_dup,
+    max_cosine)."""
+    from . import gemm
+
+    pairs = gemm.cell_dup_pairs(df, threshold, id_col=id_col, cell_col=cell_col)
     dups = (
         pairs.groupBy("id_b")
         .agg(F.round(F.max("cosine"), 6).alias("max_cosine"))

@@ -63,60 +63,80 @@ def keep_top_fraction(
     the same cost class as the global sort they'd need anyway.
 
     The selection makes several passes over ``df`` (count, quantile,
-    band counts, final filter), so ``persist=True`` (default) caches it
-    MEMORY_AND_DISK — essential when ``df`` is itself an expensive plan
-    (e.g. a knn-scoring join); pass False if the caller manages caching.
+    band counts, boundary rank), so it is persisted MEMORY_AND_DISK for
+    their duration and unpersisted before returning (``persist=False``
+    if the caller manages caching) — the returned plan is a single
+    filter over ``df``, so the caller's action re-reads it once.
     """
     if persist:
         from pyspark import StorageLevel
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    n = df.count()
-    if n <= 1:
-        return df
-    k = int(math.floor(keep_ratio * (n - 1) + 1e-9)) + 1
-    if k >= n:
-        return df
+    try:
+        n = df.count()
+        if n <= 1:
+            return df
+        k = int(math.floor(keep_ratio * (n - 1) + 1e-9)) + 1
+        if k >= n:
+            return df
 
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(score_col, probs, 0.001)))
-    if bounds:
-        arr = F.array(*[F.lit(float(b)) for b in bounds])
-        # band id = #boundaries strictly below the score: equal scores
-        # always land in the same band, so ties never straddle bands
-        band = F.size(
-            F.filter(arr, lambda b: b < F.col(score_col).cast("double"))
-        )
-    else:
-        band = F.lit(0)
-    banded = df.withColumn("_kb", band)
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = sorted(set(df.stat.approxQuantile(score_col, probs, 0.001)))
+        if bounds:
+            arr = F.array(*[F.lit(float(b)) for b in bounds])
+            # band id = #boundaries strictly below the score: equal scores
+            # always land in the same band, so ties never straddle bands
+            band = F.size(
+                F.filter(arr, lambda b: b < F.col(score_col).cast("double"))
+            )
+        else:
+            band = F.lit(0)
+        banded = df.withColumn("_kb", band)
 
-    counts = {r["_kb"]: r["cnt"] for r in
-              banded.groupBy("_kb").agg(F.count("*").alias("cnt")).collect()}
-    order_ids = sorted(counts, reverse=not ascending)
-    cum = 0
-    boundary_band, rank_before = order_ids[-1], 0
-    for b in order_ids:
-        if cum + counts[b] >= k:
-            boundary_band, rank_before = b, cum
-            break
-        cum += counts[b]
+        counts = {r["_kb"]: r["cnt"] for r in
+                  banded.groupBy("_kb").agg(F.count("*").alias("cnt")).collect()}
+        order_ids = sorted(counts, reverse=not ascending)
+        cum = 0
+        boundary_band, rank_before = order_ids[-1], 0
+        for b in order_ids:
+            if cum + counts[b] >= k:
+                boundary_band, rank_before = b, cum
+                break
+            cum += counts[b]
 
-    order = [F.col(score_col).asc() if ascending else F.col(score_col).desc()]
-    if tie_col:
-        order.append(F.col(tie_col).asc())
-    better = (
-        F.col("_kb") < boundary_band if ascending else F.col("_kb") > boundary_band
-    )
-    w = Window.partitionBy("_kb").orderBy(*order)
-    rank_fn = F.row_number() if tie_col else F.rank()
-    boundary_kept = (
-        banded.filter(F.col("_kb") == boundary_band)
-        .withColumn("_kr", rank_fn.over(w))
-        .filter(F.col("_kr") <= k - rank_before)
-        .drop("_kr")
-    )
-    return banded.filter(better).unionByName(boundary_kept).drop("_kb")
+        # rank ONLY the boundary band (~n/n_buckets rows) in one keyed
+        # window task, but just to fetch the k-th row's values: the
+        # returned plan is then a pure filter on (score, tie) — no
+        # union, no window, one reference to df
+        order = [F.col(score_col).asc() if ascending else F.col(score_col).desc()]
+        if tie_col:
+            order.append(F.col(tie_col).asc())
+        w = Window.partitionBy("_kb").orderBy(*order)
+        kth = (
+            banded.filter(F.col("_kb") == boundary_band)
+            .withColumn("_kr", F.row_number().over(w))
+            .filter(F.col("_kr") == k - rank_before)
+            .select(score_col, *( [tie_col] if tie_col else [] ))
+            .collect()
+        )[0]
+        s_star = kth[score_col]
+        sc = F.col(score_col)
+        if ascending:
+            pred = sc < F.lit(s_star)
+        else:
+            pred = sc > F.lit(s_star)
+        if tie_col:
+            # row_number semantics: ties at s* split by the tie column
+            t_star = kth[tie_col]
+            pred = pred | ((sc == F.lit(s_star)) & (F.col(tie_col) <= F.lit(t_star)))
+        else:
+            # rank semantics: ties at s* are kept or dropped together,
+            # and the k-th row's score being s* implies they are kept
+            pred = pred | (sc == F.lit(s_star))
+        return df.filter(pred)
+    finally:
+        if persist:
+            df.unpersist()
 
 
 def top_k(

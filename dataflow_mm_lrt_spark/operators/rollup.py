@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import scoped_persist
+
 from ..functions.hashing import md5_int_sql
 
 HASH_RANGE = float(1 << 60)  # md5_int_sql yields 60-bit uniform ints
@@ -56,7 +58,7 @@ def hypertable_rollup(
         .groupBy("bucket_start", "key")
         .agg(F.count("*").alias("n_events"), F.sum("v").alias("sum_value"))
     )
-    levels = {secs[0]: finest.persist()}
+    levels = {secs[0]: scoped_persist(finest)}
     for res in secs[1:]:
         finer = levels[max(s for s in secs if s < res)]
         levels[res] = (
@@ -65,8 +67,8 @@ def hypertable_rollup(
                 "key",
             )
             .agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
-            .persist()
         )
+        levels[res] = scoped_persist(levels[res])
     out = None
     names = {v: k for k, v in RESOLUTIONS.items()}
     for res in secs:
