@@ -160,7 +160,16 @@ def assemble_with_modalities(
             f"_{m}_off", F.coalesce(F.sum(f"_{m}_cnt").over(w), F.lit(0))
         )
     cleaned = F.expr(strip_multimodal_tokens_sql("spark", "text"))
-    t = t.join(modalities, conv_col)
+    # LEFT join: a conversation with modality tokens but no modalities
+    # row must surface as modality_mismatch (reference raises ValueError,
+    # conversation_to_message.py:92), not silently vanish; missing path
+    # lists behave as empty
+    t = t.join(modalities, conv_col, "left")
+    for m in ("image", "video", "audio"):
+        t = t.withColumn(
+            f"{m}_paths",
+            F.coalesce(F.col(f"{m}_paths"), F.array().cast("array<string>")),
+        )
 
     def items(m: str) -> str:
         # slice() is lenient past the end — the shortfall IS the

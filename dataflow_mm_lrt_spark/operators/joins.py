@@ -45,53 +45,52 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (*key_cols, ts_col)
     ]
-    l_tagged = left.select(
-        *key_cols,
-        F.col(ts_col),
-        F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-        F.lit(None).cast("timestamp").alias("_r_ts"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-    )
+    # the whole matched right row rides in ONE struct so (a) every output
+    # value comes from the same physical right row — per-column
+    # last(ignorenulls) would backfill a genuinely-NULL right value from
+    # an older row — and (b) equal-(key, ts) right rows resolve by the
+    # struct's lexicographic order: deterministic across runs/partitions.
     r_tagged = right.select(
         *key_cols,
         F.col(ts_col),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(ts_col).cast("timestamp").alias("_r_ts"),
-        F.lit(None)
-        .cast(l_tagged.schema["_l"].dataType)
-        .alias("_l"),
+        F.struct(
+            F.col(ts_col).cast("timestamp").alias("_ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("_r"),
     )
-    # right sorts before left at equal ts (_side 0 < 1) → inclusive <=
+    l_tagged = left.select(
+        *key_cols,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r_tagged = r_tagged.withColumn(
+        "_l", F.lit(None).cast(l_tagged.schema["_l"].dataType)
+    )
+    # right sorts before left at equal ts (_side 0 < 1) → inclusive <=;
+    # tied right rows sort by _r, so last() picks the greatest tuple
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(),
+                 F.col("_r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in value_cols
-        ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
     out = carried.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
         in_tol = (
             F.col(ts_col).cast("timestamp").cast("long")
-            - F.col("_m_ts").cast("long")
+            - F.col("_m._ts").cast("long")
         ) <= tolerance_seconds
-        for c in value_cols:
-            out = out.withColumn(
-                f"_m_{c}", F.when(in_tol, F.col(f"_m_{c}"))
-            )
-        out = out.withColumn("_m_ts", F.when(in_tol, F.col("_m_ts")))
+        out = out.withColumn("_m", F.when(in_tol, F.col("_m")))
     return out.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in value_cols],
-        F.col("_m_ts").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("_m._ts").alias(f"{ts_col}{suffix}"),
     )
 
 

@@ -89,3 +89,42 @@ def test_interval_join_inclusive_bounds(spark, frames):
     # a@10 pairs with r15 (15-10=5, inclusive hi); a@5 with r8 (3s);
     # b@10 with rb10 (0s, inclusive lo); a@20 matches nothing
     assert pairs == {(1, "r15"), (3, "r8"), (4, "rb10")}
+
+
+def test_asof_tied_right_rows_deterministic(spark):
+    """Equal-(key, ts) right rows resolve to the greatest value tuple —
+    deterministically, run after run (ADVICE r2: last() over a window
+    ordered only by (ts, _side) picked an arbitrary tied row)."""
+    left = pd.DataFrame({"k": ["a"], "ts": [_ts(10)], "lv": [1]})
+    right = pd.DataFrame(
+        {
+            "k": ["a"] * 3,
+            "ts": [_ts(10)] * 3,
+            "rv": ["r_b", "r_c", "r_a"],
+        }
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    for _ in range(3):
+        got = asof_join(
+            ldf.repartition(8), rdf.repartition(8), key_cols=["k"], ts_col="ts"
+        ).collect()
+        assert len(got) == 1 and got[0]["rv_right"] == "r_c"
+
+
+def test_asof_null_right_value_not_backfilled(spark):
+    """A genuinely-NULL value on the matched right row stays NULL — the
+    per-column last(ignorenulls) form would backfill it from an OLDER
+    right row, splicing two physical rows into one match."""
+    left = pd.DataFrame({"k": ["a"], "ts": [_ts(20)], "lv": [1]})
+    right = pd.DataFrame(
+        {
+            "k": ["a", "a"],
+            "ts": [_ts(5), _ts(15)],
+            "rv1": ["old", "new"],
+            "rv2": ["filled", None],
+        }
+    )
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    row = asof_join(ldf, rdf, key_cols=["k"], ts_col="ts").collect()[0]
+    assert row["rv1_right"] == "new"
+    assert row["rv2_right"] is None  # from the SAME matched row

@@ -96,3 +96,17 @@ def test_count_mismatch_raises(spark):
         for r in assemble_with_modalities(turns, modalities, strict=False).collect()
     }
     assert out["c1"] is True and out["c2"] is False
+
+
+def test_missing_modalities_row_surfaces_as_mismatch(spark):
+    """A token-bearing conversation with NO modalities row must register
+    modality_mismatch=true (strict=False) / raise (strict=True) — the
+    inner-join form silently dropped it (ADVICE r2)."""
+    turns, modalities = _frames(spark, {"c2": MODS["c2"]})  # c1 row absent
+    out = assemble_with_modalities(turns, modalities, strict=False).collect()
+    by_conv = {r["conv_id"]: r for r in out}
+    assert set(by_conv) == {"c1", "c2"}
+    assert by_conv["c1"]["modality_mismatch"] is True
+    assert by_conv["c2"]["modality_mismatch"] is False
+    with pytest.raises(ValueError, match="modality token count"):
+        assemble_with_modalities(turns, modalities, strict=True)
