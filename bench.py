@@ -51,6 +51,9 @@ HEADLINE = [
     "modality_splice",
     "hypertable_rollup",
     "kmv_distinct",
+    # round-3 additions
+    "ann_lsh_multiprobe",
+    "answer_eval",
 ]
 
 
@@ -81,6 +84,7 @@ def ann_recall(spark, sf_dir: str, k: int = 3, nprobe: int = 3) -> dict:
             k=k,
             cell_col="cell",
         ),
+        "lsh_nprobe4": similarity.ann_lsh_multiprobe(emb, q, k=k, nprobe=4),
     }.items():
         got = {
             (r[0], r[1])

@@ -922,6 +922,43 @@ QUALIFY rank <= {KNN_K}
 """
 
 
+ANN_NPROBE = 4  # lsh multi-probe: base cell + 3 lowest-|margin| bit flips
+
+
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Centroid-free multi-probe ANN (operators/similarity.py
+    ann_lsh_multiprobe): each query searches its base sign-LSH cell plus
+    the nprobe-1 lowest-|margin| single-bit flips (Lv et al. VLDB'07) —
+    the recall knob round-2's single-probe path lacked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    out = similarity.ann_lsh_multiprobe(emb, q, k=KNN_K, nprobe=ANN_NPROBE)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def sql_ann_lsh_multiprobe():
+    planes = similarity.lsh_hyperplanes()
+    cell = similarity.lsh_cell_sql("duckdb", "embedding", planes)
+    probes = similarity.lsh_probe_sql("duckdb", "embedding", planes, ANN_NPROBE)
+    return f"""
+WITH celled AS (SELECT vec_id, embedding, {cell} AS cell FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding, {probes} AS probes
+       FROM embeddings WHERE vec_id % {QUERY_MOD} = 0),
+q AS (SELECT query_id, embedding, unnest(probes) AS cell FROM q0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+  FROM q JOIN celled c ON q.cell = c.cell AND q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {KNN_K}
+"""
+
+
 def q_kmeans_cells(spark, sf_dir):
     """IVF coarse-quantizer training (k-means-lite, 2 Lloyd steps,
     deterministic init). Because n_iters is a fixed constant, the whole
@@ -1534,6 +1571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "ann_lsh_cells": q_ann_lsh_cells,
     "ann_auto_cells": q_ann_auto_cells,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "kmeans_cells": q_kmeans_cells,
     "role_tool_filter": q_role_tool_filter,
 }
@@ -1585,6 +1623,7 @@ ORACLES: dict[str, str] = {
     "kmv_distinct": sql_kmv_distinct(),
     "ann_lsh_cells": sql_ann_lsh_cells(),
     "ann_auto_cells": sql_ann_auto_cells(),
+    "ann_lsh_multiprobe": sql_ann_lsh_multiprobe(),
     # kmeans_cells: n_iters is a fixed constant, so the Lloyd recursion
     # unrolls into straight-line SQL — a full value oracle after all
     "kmeans_cells": sql_kmeans_cells(),

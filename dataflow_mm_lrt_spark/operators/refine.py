@@ -115,15 +115,73 @@ def answer_eval(
     """Per-row reward by question type (multiple choice / numerical /
     OCR-WER / free-form ROUGE / regression), Arrow-batched; dispatch + tag extraction follow
     general_text_answer_evaluator.py:102-150 via the tested port."""
-    from ..oracle.reference_port import calculate_reward
+    from ..oracle.reference_port import (
+        compute_rouge_score,
+        normalize_number,
+        wer,
+    )
 
     @F.pandas_udf(DoubleType())
     def _reward(sol: pd.Series, out: pd.Series, qt: pd.Series) -> pd.Series:
-        frame = pd.DataFrame({"s": sol, "o": out, "q": qt})
-        return frame.apply(
-            lambda r: calculate_reward(r["s"] or "", r["o"] or "", r["q"] or ""),
-            axis=1,
+        import re
+
+        import numpy as np
+
+        # vectorized tag extraction + per-question-type group dispatch;
+        # per-row Python survives only inside the inherently sequential
+        # WER / ROUGE string kernels (general_text_answer_evaluator.py:
+        # 102-150 semantics, diffed against the row-loop port in tests)
+        pat = r"<answer>\s*(.*?)\s*</answer>"
+        g = (
+            sol.fillna("").str.extract(pat, flags=re.DOTALL)[0]
+            .str.strip().fillna("")
         )
+        o = (
+            out.fillna("").str.extract(pat, flags=re.DOTALL)[0]
+            .str.strip().fillna("")
+        )
+        res = pd.Series(0.0, index=sol.index)
+
+        def nums(s: pd.Series) -> pd.Series:
+            v = pd.to_numeric(s.str.replace(",", "", regex=False), errors="coerce")
+            # pandas' parser and float() disagree on a few exotic forms
+            # ("1_0", "infinity") — re-parse only the coerced misses
+            miss = v.isna() & (s != "")
+            if miss.any():
+                v.loc[miss] = [normalize_number(x) for x in s.loc[miss]]
+            return v.astype(float)
+
+        for q, idx in qt.fillna("").groupby(qt.fillna("")).groups.items():
+            gg, oo = g.loc[idx], o.loc[idx]
+            if q == "multiple choice":
+                res.loc[idx] = (gg == oo).astype(float)
+            elif q == "numerical":
+                sep = gg.str.contains(r"[.,]") == oo.str.contains(r"[.,]")
+                gn, on = nums(gg), nums(oo)
+                ok = sep & gn.notna() & on.notna() & (gn.round(2) == on.round(2))
+                res.loc[idx] = ok.astype(float)
+            elif q == "regression":
+                gn, on = nums(gg), nums(oo)
+                rel = np.minimum(
+                    1.0,
+                    np.maximum(
+                        0.0, ((on - gn).abs() + 1e-9) / (gn.abs() + 1e-9)
+                    ),
+                )
+                # inf-inf → NaN: the reference's max(0.0, nan) keeps 0.0
+                # (Python comparison), so NaN rel means reward 1.0
+                rel = np.where(np.isnan(rel), 0.0, rel)
+                res.loc[idx] = np.where(gn.notna() & on.notna(), 1 - rel, 0.0)
+            elif q == "OCR":
+                res.loc[idx] = [
+                    max(0.0, min(1.0, 1 - wer(a, b))) for a, b in zip(gg, oo)
+                ]
+            elif q == "free-form":
+                res.loc[idx] = [
+                    max(0.0, min(1.0, compute_rouge_score(a, b)))
+                    for a, b in zip(gg, oo)
+                ]
+        return res
 
     return df.withColumn(
         reward_col, _reward(F.col(solution_col), F.col(output_col), F.col(qtype_col))

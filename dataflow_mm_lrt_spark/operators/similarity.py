@@ -137,6 +137,98 @@ def lsh_cells(
     return df.withColumn(cell_col, F.expr(lsh_cell_sql("spark", emb_col, planes)))
 
 
+def lsh_probe_sql(
+    dialect: str, emb_col: str, planes: list[list[float]], nprobe: int
+) -> str:
+    """Multi-probe LSH search list as a dual-dialect SQL expression:
+    the base cell followed by the ``nprobe - 1`` single-bit
+    perturbations with the smallest |margin| (the query's distance to
+    the flipped hyperplane — the standard multi-probe ordering, Lv et
+    al. VLDB'07). Margins are rounded to 6 dp before |·| and ties break
+    on plane index, so both engines pick identical probe lists."""
+    if not 1 <= nprobe <= len(planes) + 1:
+        raise ValueError(
+            f"nprobe must be in [1, n_planes + 1] = [1, {len(planes) + 1}] "
+            f"for single-bit perturbations; got {nprobe}"
+        )
+    cell = lsh_cell_sql(dialect, emb_col, planes)
+    margs = []
+    for j, w in enumerate(planes):
+        if dialect == "spark":
+            arr = "array(" + ", ".join(_dlit(v) for v in w) + ")"
+            dot = (
+                f"aggregate(zip_with({emb_col}, {arr}, (x, w) -> cast(x as double) * w), "
+                f"0d, (acc, v) -> acc + v)"
+            )
+            margs.append(f"struct(abs(round({dot}, 6)) as m, {j} as i)")
+        else:
+            arr = "[" + ", ".join(_dlit(v) for v in w) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip({emb_col}, {arr}), "
+                f"p -> p[1]::DOUBLE * p[2]))"
+            )
+            margs.append(f"{{'m': abs(round({dot}, 6)), 'i': {j}}}")
+    if dialect == "spark":
+        sorted_m = f"array_sort(array({', '.join(margs)}))"
+        flips = (
+            f"transform(slice({sorted_m}, 1, {nprobe - 1}), "
+            f"s -> cast(({cell}) ^ shiftleft(1, s.i) as int))"
+        )
+        return f"concat(array({cell}), {flips})"
+    sorted_m = f"list_sort([{', '.join(margs)}])"
+    flips = (
+        f"list_transform(list_slice({sorted_m}, 1, {nprobe - 1}), "
+        f"s -> CAST(xor({cell}, 1 << s['i']) AS INT))"
+    )
+    return f"list_prepend(CAST({cell} AS INT), {flips})"
+
+
+def lsh_probe_cells(
+    df: DataFrame,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    out_col: str = "probe_cells",
+) -> DataFrame:
+    """The query-side multi-probe search list for sign-LSH cells (see
+    ``lsh_probe_sql``). Pure projection — no shuffle, no Python."""
+    planes = lsh_hyperplanes(n_planes, dim, seed)
+    return df.withColumn(
+        out_col, F.expr(lsh_probe_sql("spark", emb_col, planes, nprobe))
+    )
+
+
+def ann_lsh_multiprobe(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-free multi-probe ANN: corpus bucketed once by sign-LSH
+    cell; each query searches its base cell plus the ``nprobe - 1``
+    lowest-|margin| bit flips (round-2's measured single-probe recall of
+    0.183 is the gap this closes). Each corpus row lives in exactly one
+    cell, so exploded probes create no duplicate pairs; the global
+    rank-k window inside ``ann_ivf_cosine`` merges the probe cells."""
+    c = lsh_cells(
+        embeddings.select(id_col, emb_col), n_planes, dim, seed, emb_col
+    )
+    q = (
+        lsh_probe_cells(
+            queries.select(id_col, emb_col), n_planes, dim, seed, nprobe, emb_col
+        )
+        .select(id_col, emb_col, F.explode("probe_cells").alias("cell"))
+    )
+    return ann_ivf_cosine(c, q, k=k, id_col=id_col, cell_col="cell")
+
+
 def _centroid_dist_structs(cents: list[list[float]], emb_col: str) -> str:
     """array(struct(squared_dist, cell_id), ...) over broadcast centroid
     literals — the shared argmin/top-probes building block."""

@@ -139,3 +139,35 @@ def test_wiki_qa_refiner_matches_port(spark):
             for qa in row.wiki_qa["qas"]
         ]
         assert got_qas == exp["qas"], t
+
+
+def test_answer_eval_vectorized_matches_port_fuzz(spark):
+    """The grouped/vectorized dispatch (r3) vs the row-loop reference
+    port over a messy mixed batch: nulls, missing tags, unparsable
+    numbers, free-form, unknown types, exotic float forms."""
+    import itertools
+
+    sols = ["<answer>B</answer>", "<answer>3.14</answer>", "<answer></answer>",
+            "no tags at all", None, "<answer>1,234.5</answer>",
+            "<answer>1_0</answer>", "<answer>infinity</answer>",
+            "<answer>the cat sat on the mat</answer>"]
+    outs = ["<answer> B </answer>", "<answer>3.1401</answer>", "<answer>x</answer>",
+            None, "<answer>B</answer>", "<answer>1234.5</answer>",
+            "<answer>10</answer>", "<answer>inf</answer>",
+            "<answer>a cat sat on a mat</answer>"]
+    qts = ["multiple choice", "numerical", "OCR", "free-form", "regression",
+           "unknown", None]
+    rows = pd.DataFrame(
+        [(s, o, q) for (s, o), q in itertools.product(zip(sols, outs), qts)],
+        columns=["solution", "model_output", "problem_type"],
+    )
+    got = refine.answer_eval(
+        spark.createDataFrame(rows)
+    ).toPandas()
+    for _, r in got.iterrows():
+        exp = ref.calculate_reward(
+            r["solution"] or "", r["model_output"] or "", r["problem_type"] or ""
+        )
+        assert abs(r["reward"] - exp) < 1e-9, (
+            r["solution"], r["model_output"], r["problem_type"], r["reward"], exp
+        )
