@@ -1106,6 +1106,39 @@ def sql_normalize_en():
     )
 
 
+_EN_NUM_SNIPPETS = [
+    "one hundred and twenty three dollars later",
+    "nineteen eighty four was first published",
+    "двадцать was twenty twelve then three dollars fifty cents",
+    "she ran two point five percent faster in the colour centre",
+    "double oh seven organised the theatre programme",
+    "minus five degrees on the twenty first",
+]
+
+
+def q_normalize_en_full(spark, sf_dir):
+    """The COMPLETE Whisper-style en normalizer including the
+    spelled-number FST and the British→American spelling table
+    (operators/refine.english_normalize_full) over digit/spelled-number
+    bearing text. No DuckDB oracle: the number FST is a per-word
+    sequential state machine (functions/whisper_en_numbers.py) that SQL
+    cannot express — the driver records a rows-only check; the full
+    value-level parity test vs the Python twin is
+    tests/test_whisper_en.py::test_full_engine_matches_python_twin."""
+    from .operators import refine
+
+    k = len(_EN_NUM_SNIPPETS)
+    snips = ", ".join(DIALECT_SPARK.lit(s) for s in _EN_NUM_SNIPPETS)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_en_text",
+        F.expr(
+            f"concat(element_at(array({snips}), cast(doc_id % {k} as int) + 1), ' ', text)"
+        ),
+    )
+    out = refine.english_normalize_full(docs, text_col="_en_text")
+    return out.select("doc_id", "text_norm")
+
+
 def q_functional_refiner(spark, sf_dir):
     """FunctionalRefiner glue (functional_refiner.py:47-66): column-bound
     kwargs + constant passthrough, vectorized pandas path."""
@@ -1561,6 +1594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "answer_eval": q_answer_eval,
     "mcts_tree_refiner": q_mcts_chains,
     "normalize_en": q_normalize_en,
+    "normalize_en_full": q_normalize_en_full,
     "normalize_zh": q_normalize_zh,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,

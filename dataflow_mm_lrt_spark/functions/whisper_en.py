@@ -100,9 +100,14 @@ REPLACERS: list[tuple[str, str]] = [
 KEEP_SYMBOLS = ".%$¢€£"
 
 
-def english_normalize_sql(dialect: str, t: str) -> str:
+def english_normalize_sql(dialect: str, t: str, pre_numbers: bool = False) -> str:
     """The EnglishTextNormalizer pipeline (minus number/spelling data
-    passes) as a single SQL string expression."""
+    passes) as a single SQL string expression.
+
+    ``pre_numbers=True`` stops right before the number-FST slot (after
+    the symbol cleanup) — ``operators/refine.english_normalize_full``
+    runs this SQL prefix JVM-side, then the Python number/spelling stage
+    (functions/whisper_en_numbers.py), then the final three regexes."""
     d = DIALECTS[dialect]
     b1 = d.backref(1)
     e = f"lower({t})"
@@ -117,6 +122,8 @@ def english_normalize_sql(dialect: str, t: str) -> str:
     # symbols → space, keeping numeric symbols (SQL stand-in for
     # remove_symbols_and_diacritics; exact on ASCII)
     e = d.regexp_replace_all(e, r"[^\p{L}\p{N}\s.%$¢€£]", " ")
+    if pre_numbers:
+        return e
     e = d.regexp_replace_all(e, r"[.$¢€£]([^0-9])", f" {b1}")
     e = d.regexp_replace_all(e, r"([^0-9])%", f"{b1} ")
     e = d.regexp_replace_all(e, r"\s+", " ")

@@ -1,0 +1,532 @@
+"""Spelled-number and British→American spelling standardization for the
+Whisper-style English normalizer (the two data/FST passes that
+``functions/whisper_en.py`` documents as out of SQL scope).
+
+Re-implemented from the published OpenAI Whisper normalizer algorithm
+(MIT; the reference's TextNormalizer imports it via the public
+``whisper_normalizer`` package, audio_text_normalizer.py:29-31): a
+single left-to-right pass over whitespace words with a running value
+accumulator — "one hundred and twenty three" → "123", "nineteen eighty
+four" → "1984", "three dollars fifty cents" → "$3.50", "first" → "1st",
+"double seven" → "77", "two point five" → "2.5", "five per cent" →
+"5%".  The word-by-word state machine is inherently sequential, so it
+runs row-at-a-time inside an Arrow-batched pandas UDF stage; everything
+around it stays SQL (operators/refine.py english_normalize_full).
+
+Deltas vs the package (measurable via ``oracle.whisper_en
+.external_normalizer()`` wherever the package is importable — it is not
+in this container):
+
+* the spelling table here is a curated ~330-entry subset of the
+  package's data file (the most frequent -our/-ise/-re/-ogue/doubled-l
+  forms), not the full list;
+* a handful of rarely-hit FST edge cases may differ — every behavior
+  asserted in tests/test_whisper_en.py is from the published
+  algorithm's documented examples.
+"""
+
+from __future__ import annotations
+
+import re
+from fractions import Fraction
+from typing import Iterator, Optional, Union
+
+_DIGIT_RE = re.compile(r"^\d+(\.\d+)?$")
+
+
+class EnglishNumberNormalizer:
+    """Convert spelled-out numbers to arabic numerals, keeping prefix
+    currency symbols and percent/ordinal/plural suffixes attached."""
+
+    def __init__(self):
+        self.zeros = {"o", "oh", "zero"}
+        ones_words = [
+            "one", "two", "three", "four", "five", "six", "seven", "eight",
+            "nine", "ten", "eleven", "twelve", "thirteen", "fourteen",
+            "fifteen", "sixteen", "seventeen", "eighteen", "nineteen",
+        ]
+        self.ones = {w: i for i, w in enumerate(ones_words, start=1)}
+        self.ones_plural = {
+            "sixes" if w == "six" else w + "s": (v, "s")
+            for w, v in self.ones.items()
+        }
+        self.ones_ordinal = {
+            "zeroth": (0, "th"),
+            "first": (1, "st"),
+            "second": (2, "nd"),
+            "third": (3, "rd"),
+            "fifth": (5, "th"),
+            "ninth": (9, "th"),
+            "twelfth": (12, "th"),
+            **{
+                w + ("h" if w.endswith("t") else "th"): (v, "th")
+                for w, v in self.ones.items()
+                if v > 3 and v not in (5, 9, 12)
+            },
+        }
+        self.ones_suffixed = {**self.ones_plural, **self.ones_ordinal}
+
+        tens_words = {
+            "twenty": 20, "thirty": 30, "forty": 40, "fifty": 50,
+            "sixty": 60, "seventy": 70, "eighty": 80, "ninety": 90,
+        }
+        self.tens = tens_words
+        self.tens_plural = {
+            w.replace("y", "ies"): (v, "s") for w, v in tens_words.items()
+        }
+        self.tens_ordinal = {
+            w.replace("y", "ieth"): (v, "th") for w, v in tens_words.items()
+        }
+        self.tens_suffixed = {**self.tens_plural, **self.tens_ordinal}
+
+        self.multipliers = {
+            "hundred": 100,
+            "thousand": 1_000,
+            "million": 1_000_000,
+            "billion": 1_000_000_000,
+            "trillion": 1_000_000_000_000,
+            "quadrillion": 10 ** 15,
+            "quintillion": 10 ** 18,
+            "sextillion": 10 ** 21,
+            "septillion": 10 ** 24,
+            "octillion": 10 ** 27,
+            "nonillion": 10 ** 30,
+            "decillion": 10 ** 33,
+        }
+        self.multipliers_plural = {
+            w + "s": (v, "s") for w, v in self.multipliers.items()
+        }
+        self.multipliers_ordinal = {
+            w + "th": (v, "th") for w, v in self.multipliers.items()
+        }
+        self.multipliers_suffixed = {
+            **self.multipliers_plural,
+            **self.multipliers_ordinal,
+        }
+
+        self.decimals = {*self.ones, *self.tens, *self.zeros}
+
+        self.preceding_prefixers = {
+            "minus": "-", "negative": "-", "plus": "+", "positive": "+",
+        }
+        self.following_prefixers = {
+            "pound": "£", "pounds": "£",
+            "euro": "€", "euros": "€",
+            "dollar": "$", "dollars": "$",
+            "cent": "¢", "cents": "¢",
+        }
+        self.prefixes = set(self.preceding_prefixers.values()) | set(
+            self.following_prefixers.values()
+        )
+        self.suffixers = {"per": {"cent": "%"}, "percent": "%"}
+        self.specials = {"and", "double", "triple", "point"}
+
+        self.words = {
+            *self.zeros, *self.ones, *self.ones_suffixed, *self.tens,
+            *self.tens_suffixed, *self.multipliers,
+            *self.multipliers_suffixed, *self.preceding_prefixers,
+            *self.following_prefixers, *self.suffixers, *self.specials,
+        }
+        self.literal_words = {"one", "ones"}
+
+    def process_words(self, words: list[str]) -> Iterator[str]:
+        prefix: Optional[str] = None
+        value: Optional[Union[str, int]] = None
+        skip = False
+
+        def to_fraction(s: str) -> Optional[Fraction]:
+            try:
+                return Fraction(s)
+            except ValueError:
+                return None
+
+        def output(result: Union[str, int]) -> str:
+            nonlocal prefix, value
+            result = str(result)
+            if prefix is not None:
+                result = prefix + result
+            value = None
+            prefix = None
+            return result
+
+        for i, current in enumerate(words):
+            prev = words[i - 1] if i > 0 else None
+            nxt = words[i + 1] if i + 1 < len(words) else None
+            if skip:
+                skip = False
+                continue
+
+            next_is_numeric = nxt is not None and _DIGIT_RE.match(nxt)
+            has_prefix = bool(current) and current[0] in self.prefixes
+            current_without_prefix = current[1:] if has_prefix else current
+            if _DIGIT_RE.match(current_without_prefix):
+                # arabic numbers (potentially with a currency prefix)
+                f = to_fraction(current_without_prefix)
+                if value is not None:
+                    if isinstance(value, str) and value.endswith("."):
+                        # concatenate decimals: "one point 25" → 1.25
+                        value = str(value) + str(current)
+                        continue
+                    else:
+                        yield output(value)
+                prefix = current[0] if has_prefix else prefix
+                if f is not None and f.denominator == 1:
+                    value = f.numerator  # int: may still accumulate
+                else:
+                    value = current_without_prefix
+            elif current not in self.words:
+                # non-numeric word
+                if value is not None:
+                    yield output(value)
+                yield output(current)
+            elif current in self.zeros:
+                value = str(value or "") + "0"
+            elif current in self.ones:
+                ones = self.ones[current]
+                if value is None:
+                    value = ones
+                elif isinstance(value, str) or prev in self.ones:
+                    if prev in self.tens and ones < 10:
+                        # "nineteen eighty four" → ...8 replaced by 84
+                        assert isinstance(value, str)
+                        value = value[:-1] + str(ones)
+                    else:
+                        value = str(value) + str(ones)
+                elif ones < 10:
+                    if value % 10 == 0:
+                        value += ones
+                    else:
+                        value = str(value) + str(ones)
+                else:  # eleven..nineteen
+                    if value % 100 == 0:
+                        value += ones
+                    else:
+                        value = str(value) + str(ones)
+            elif current in self.ones_suffixed:
+                # ordinal or plural: yield immediately
+                ones, suffix = self.ones_suffixed[current]
+                if value is None:
+                    yield output(str(ones) + suffix)
+                elif isinstance(value, str) or prev in self.ones:
+                    if prev in self.tens and ones < 10:
+                        assert isinstance(value, str)
+                        yield output(value[:-1] + str(ones) + suffix)
+                    else:
+                        yield output(str(value) + str(ones) + suffix)
+                elif ones < 10:
+                    if value % 10 == 0:
+                        yield output(str(value + ones) + suffix)
+                    else:
+                        yield output(str(value) + str(ones) + suffix)
+                else:  # eleven..nineteen
+                    if value % 100 == 0:
+                        yield output(str(value + ones) + suffix)
+                    else:
+                        yield output(str(value) + str(ones) + suffix)
+                value = None
+            elif current in self.tens:
+                tens = self.tens[current]
+                if value is None:
+                    value = tens
+                elif isinstance(value, str):
+                    value = str(value) + str(tens)
+                else:
+                    if value % 100 == 0:
+                        value += tens
+                    else:
+                        value = str(value) + str(tens)
+            elif current in self.tens_suffixed:
+                tens, suffix = self.tens_suffixed[current]
+                if value is None:
+                    yield output(str(tens) + suffix)
+                elif isinstance(value, str):
+                    yield output(str(value) + str(tens) + suffix)
+                else:
+                    if value % 100 == 0:
+                        yield output(str(value + tens) + suffix)
+                    else:
+                        yield output(str(value) + str(tens) + suffix)
+            elif current in self.multipliers:
+                multiplier = self.multipliers[current]
+                if value is None:
+                    value = multiplier
+                elif isinstance(value, str) or value == 0:
+                    f = to_fraction(str(value))
+                    p = f * multiplier if f is not None else None
+                    if f is not None and p.denominator == 1:
+                        value = p.numerator
+                    else:
+                        yield output(value)
+                        value = multiplier
+                else:
+                    before = value // 1000 * 1000
+                    residual = value % 1000
+                    value = before + residual * multiplier
+            elif current in self.multipliers_suffixed:
+                multiplier, suffix = self.multipliers_suffixed[current]
+                if value is None:
+                    yield output(str(multiplier) + suffix)
+                elif isinstance(value, str):
+                    f = to_fraction(str(value))
+                    p = f * multiplier if f is not None else None
+                    if f is not None and p.denominator == 1:
+                        yield output(str(p.numerator) + suffix)
+                    else:
+                        yield output(value)
+                        yield output(str(multiplier) + suffix)
+                else:
+                    before = value // 1000 * 1000
+                    residual = value % 1000
+                    value = before + residual * multiplier
+                    yield output(str(value) + suffix)
+                value = None
+            elif current in self.preceding_prefixers:
+                # "minus five" → -5 (only when a number actually follows)
+                if value is not None:
+                    yield output(value)
+                if nxt in self.words or next_is_numeric:
+                    prefix = self.preceding_prefixers[current]
+                else:
+                    yield output(current)
+            elif current in self.following_prefixers:
+                # "three dollars" → $3
+                if value is not None:
+                    prefix = self.following_prefixers[current]
+                    yield output(value)
+                else:
+                    yield output(current)
+            elif current in self.suffixers:
+                # "five percent" / "five per cent" → 5%
+                if value is not None:
+                    suffix = self.suffixers[current]
+                    if isinstance(suffix, dict):
+                        if nxt in suffix:
+                            yield output(str(value) + suffix[nxt])
+                            skip = True
+                        else:
+                            yield output(value)
+                            yield output(current)
+                    else:
+                        yield output(str(value) + suffix)
+                else:
+                    yield output(current)
+            elif current in self.specials:
+                if nxt not in self.words and not next_is_numeric:
+                    # not part of a number sequence
+                    if value is not None:
+                        yield output(value)
+                    yield output(current)
+                elif current == "and":
+                    # "one hundred and ten": drop the "and" inside a
+                    # number; standalone "and" passes through
+                    if prev not in self.multipliers:
+                        if value is not None:
+                            yield output(value)
+                        yield output(current)
+                elif current in ("double", "triple"):
+                    if nxt in self.ones or nxt in self.zeros:
+                        repeats = 2 if current == "double" else 3
+                        ones = self.ones.get(nxt, 0)
+                        value = str(value or "") + str(ones) * repeats
+                        skip = True
+                    else:
+                        if value is not None:
+                            yield output(value)
+                        yield output(current)
+                elif current == "point":
+                    if nxt in self.decimals or next_is_numeric:
+                        value = str(value or "") + "."
+                else:  # pragma: no cover — specials is closed
+                    raise ValueError(f"unexpected token: {current}")
+            else:  # pragma: no cover — words is the union of the cases
+                raise ValueError(f"unexpected token: {current}")
+
+        if value is not None:
+            yield output(value)
+
+    def preprocess(self, s: str) -> str:
+        # put a space between a number and a following "and a half"
+        results = []
+        segments = re.split(r"\band\s+a\s+half\b", s)
+        for i, segment in enumerate(segments):
+            if len(segment.strip()) == 0:
+                continue
+            if i == len(segments) - 1:
+                results.append(segment)
+            else:
+                results.append(segment)
+                last_word = segment.rsplit(maxsplit=2)[-1]
+                if last_word in self.decimals or last_word in self.multipliers:
+                    results.append("point five")
+                else:
+                    results.append("and a half")
+        s = " ".join(results)
+        # put a space at number/letter boundaries
+        s = re.sub(r"([a-z])([0-9])", r"\1 \2", s)
+        s = re.sub(r"([0-9])([a-z])", r"\1 \2", s)
+        # but remove it for suffixes: 1st, 2nd, 3rd, 4th, 5s ...
+        s = re.sub(r"([0-9])\s+(st|nd|rd|th|s)\b", r"\1\2", s)
+        return s
+
+    def postprocess(self, s: str) -> str:
+        def combine_cents(m: re.Match) -> str:
+            try:
+                currency = m.group(1)
+                integer = m.group(2)
+                cents = int(m.group(3))
+                return f"{currency}{integer}.{cents:02d}"
+            except ValueError:  # pragma: no cover
+                return m.string
+
+        def extract_cents(m: re.Match) -> str:
+            try:
+                return f"¢{int(m.group(1))}"
+            except ValueError:  # pragma: no cover
+                return m.string
+
+        # apply currency postprocessing: "$2 and ¢7" → "$2.07"
+        s = re.sub(r"([€£$])([0-9]+) (?:and )?¢([0-9]{1,2})\b", combine_cents, s)
+        s = re.sub(r"[€£$]0.([0-9]{1,2})\b", extract_cents, s)
+        # write "one(s)" instead of "1(s)" when it is a standalone word
+        # (not part of "1.25", "$1", "21", …)
+        s = re.sub(r"(?<![^\s])1(s?)(?![^\s])", r"one\1", s)
+        return s
+
+    def __call__(self, s: str) -> str:
+        s = self.preprocess(s)
+        s = " ".join(word for word in self.process_words(s.split()) if word)
+        s = self.postprocess(s)
+        return s
+
+
+# ---------------------------------------------------------------------------
+# British → American spelling (EnglishSpellingNormalizer shape: a flat
+# word map; this is a curated high-frequency subset of the package's
+# ~2k-entry data file — coverage delta documented in the module docstring)
+# ---------------------------------------------------------------------------
+
+def _expand(stem_pairs: list[tuple[str, str]], suffixes: list[tuple[str, str]]):
+    out = {}
+    for gb, us in stem_pairs:
+        for gs, usx in suffixes:
+            out[gb + gs] = us + usx
+    return out
+
+
+SPELLING_GB_TO_US: dict[str, str] = {
+    # -our → -or
+    **_expand(
+        [
+            ("colour", "color"), ("flavour", "flavor"), ("honour", "honor"),
+            ("labour", "labor"), ("neighbour", "neighbor"),
+            ("behaviour", "behavior"), ("favour", "favor"),
+            ("harbour", "harbor"), ("humour", "humor"), ("rumour", "rumor"),
+            ("armour", "armor"), ("odour", "odor"), ("vapour", "vapor"),
+            ("saviour", "savior"), ("splendour", "splendor"),
+            ("endeavour", "endeavor"), ("vigour", "vigor"),
+            ("candour", "candor"), ("clamour", "clamor"),
+            ("parlour", "parlor"), ("valour", "valor"),
+        ],
+        [("", ""), ("s", "s"), ("ed", "ed"), ("ing", "ing")],
+    ),
+    "colourful": "colorful", "favourite": "favorite",
+    "favourites": "favorites", "honourable": "honorable",
+    "neighbourhood": "neighborhood", "neighbourhoods": "neighborhoods",
+    "behavioural": "behavioral", "labourer": "laborer",
+    "labourers": "laborers", "humourous": "humorous",
+    # -ise/-isation → -ize/-ization
+    **_expand(
+        [
+            ("organis", "organiz"), ("recognis", "recogniz"),
+            ("realis", "realiz"), ("apologis", "apologiz"),
+            ("criticis", "criticiz"), ("emphasis", "emphasiz"),
+            ("minimis", "minimiz"), ("maximis", "maximiz"),
+            ("optimis", "optimiz"), ("summaris", "summariz"),
+            ("authoris", "authoriz"), ("categoris", "categoriz"),
+            ("characteris", "characteriz"), ("specialis", "specializ"),
+            ("standardis", "standardiz"), ("normalis", "normaliz"),
+            ("generalis", "generaliz"), ("capitalis", "capitaliz"),
+            ("modernis", "moderniz"), ("memoris", "memoriz"),
+            ("prioritis", "prioritiz"), ("utilis", "utiliz"),
+            ("visualis", "visualiz"), ("stabilis", "stabiliz"),
+            ("synchronis", "synchroniz"), ("sympathis", "sympathiz"),
+            ("theoris", "theoriz"), ("italicis", "italiciz"),
+            ("familiaris", "familiariz"), ("formalis", "formaliz"),
+        ],
+        [("e", "e"), ("es", "es"), ("ed", "ed"), ("ing", "ing"),
+         ("ation", "ation"), ("ations", "ations")],
+    ),
+    "analyse": "analyze", "analyses": "analyzes", "analysed": "analyzed",
+    "analysing": "analyzing", "paralyse": "paralyze",
+    "paralysed": "paralyzed", "catalyse": "catalyze",
+    # -re → -er
+    "centre": "center", "centres": "centers", "metre": "meter",
+    "metres": "meters", "litre": "liter", "litres": "liters",
+    "theatre": "theater", "theatres": "theaters", "fibre": "fiber",
+    "fibres": "fibers", "calibre": "caliber", "sombre": "somber",
+    "spectre": "specter", "lustre": "luster", "manoeuvre": "maneuver",
+    "manoeuvres": "maneuvers", "kilometre": "kilometer",
+    "kilometres": "kilometers", "centimetre": "centimeter",
+    "centimetres": "centimeters", "millimetre": "millimeter",
+    "millimetres": "millimeters",
+    # -ogue → -og
+    "catalogue": "catalog", "catalogues": "catalogs",
+    "dialogue": "dialog", "dialogues": "dialogs",
+    "analogue": "analog", "analogues": "analogs",
+    "monologue": "monolog", "monologues": "monologs",
+    # -ce/-se nouns
+    "defence": "defense", "defences": "defenses", "offence": "offense",
+    "offences": "offenses", "licence": "license", "licences": "licenses",
+    "pretence": "pretense", "practise": "practice",
+    "practised": "practiced", "practising": "practicing",
+    # doubled l
+    "travelled": "traveled", "travelling": "traveling",
+    "traveller": "traveler", "travellers": "travelers",
+    "cancelled": "canceled", "cancelling": "canceling",
+    "labelled": "labeled", "labelling": "labeling",
+    "modelled": "modeled", "modelling": "modeling",
+    "signalled": "signaled", "signalling": "signaling",
+    "channelled": "channeled", "channelling": "channeling",
+    "counselled": "counseled", "counselling": "counseling",
+    "counsellor": "counselor", "counsellors": "counselors",
+    "jewellery": "jewelry", "marvellous": "marvelous",
+    "quarrelled": "quarreled", "quarrelling": "quarreling",
+    "fuelled": "fueled", "fuelling": "fueling",
+    "levelled": "leveled", "levelling": "leveling",
+    # misc high-frequency
+    "grey": "gray", "greys": "grays", "tyre": "tire", "tyres": "tires",
+    "kerb": "curb", "plough": "plow", "ploughs": "plows",
+    "mould": "mold", "moulds": "molds", "moustache": "mustache",
+    "pyjamas": "pajamas", "programme": "program",
+    "programmes": "programs", "tonne": "ton", "tonnes": "tons",
+    "aluminium": "aluminum", "aeroplane": "airplane",
+    "aeroplanes": "airplanes", "cheque": "check", "cheques": "checks",
+    "draught": "draft", "draughts": "drafts", "gaol": "jail",
+    "storey": "story", "storeys": "stories", "whisky": "whiskey",
+    "sceptical": "skeptical", "sceptic": "skeptic",
+    "artefact": "artifact", "artefacts": "artifacts",
+    "encyclopaedia": "encyclopedia", "mediaeval": "medieval",
+    "anaemia": "anemia", "anaesthesia": "anesthesia",
+    "diarrhoea": "diarrhea", "oesophagus": "esophagus",
+    "foetus": "fetus", "leukaemia": "leukemia",
+    "oestrogen": "estrogen", "paediatric": "pediatric",
+    "orthopaedic": "orthopedic", "archaeology": "archeology",
+    "ageing": "aging", "judgement": "judgment",
+    "judgements": "judgments", "acknowledgement": "acknowledgment",
+    "acknowledgements": "acknowledgments", "fulfil": "fulfill",
+    "fulfilment": "fulfillment", "enrol": "enroll",
+    "enrolment": "enrollment", "instalment": "installment",
+    "instalments": "installments", "skilful": "skillful",
+    "wilful": "willful",
+}
+
+
+class EnglishSpellingNormalizer:
+    """Word-map spelling standardization (the package loads its mapping
+    from a JSON data file; same application semantics)."""
+
+    def __init__(self, mapping: dict[str, str] | None = None):
+        self.mapping = SPELLING_GB_TO_US if mapping is None else mapping
+
+    def __call__(self, s: str) -> str:
+        return " ".join(self.mapping.get(word, word) for word in s.split())

@@ -213,6 +213,41 @@ def english_normalize_text(
     return df.withColumn(out_col, F.expr(english_normalize_sql("spark", text_col)))
 
 
+def english_normalize_full(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """The COMPLETE Whisper-style en pipeline: the SQL prefix of
+    ``english_normalize_text`` runs JVM-side, then the spelled-number
+    FST + British→American spelling table (the two passes
+    functions/whisper_en.py scopes out of SQL) as one Arrow-batched
+    stage, then the final symbol regexes vectorized in pandas. The
+    word-by-word FST is inherently sequential per row, hence per-row
+    Python inside the Arrow batch (functions/whisper_en_numbers.py)."""
+    import re as _re
+
+    from pyspark.sql.types import StringType
+
+    from ..functions.whisper_en import english_normalize_sql
+    from ..functions.whisper_en_numbers import (
+        EnglishNumberNormalizer,
+        EnglishSpellingNormalizer,
+    )
+
+    pre = F.expr(english_normalize_sql("spark", text_col, pre_numbers=True))
+
+    @F.pandas_udf(StringType())
+    def _post(texts: pd.Series) -> pd.Series:
+        num = EnglishNumberNormalizer()
+        spell = EnglishSpellingNormalizer()
+        s = texts.fillna("").map(lambda t: spell(num(t)))
+        s = s.str.replace(r"[.$¢€£]([^0-9])", r" \1", regex=True)
+        s = s.str.replace(r"([^0-9])%", r"\1 ", regex=True)
+        s = s.str.replace(r"\s+", " ", regex=True)
+        return s
+
+    return df.withColumn(out_col, _post(pre))
+
+
 def chinese_normalize_text(
     df: DataFrame,
     text_col: str = "text",

@@ -50,6 +50,33 @@ def english_text_normalizer(s: str) -> str:
     return s
 
 
+def english_text_normalizer_full(s: str) -> str:
+    """The complete pipeline including the number FST and the spelling
+    table (functions/whisper_en_numbers.py) — the Python twin of
+    ``operators/refine.english_normalize_full``."""
+    from ..functions.whisper_en_numbers import (
+        EnglishNumberNormalizer,
+        EnglishSpellingNormalizer,
+    )
+
+    s = (s or "").lower()
+    s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)
+    s = re.sub(r"\(([^)]+?)\)", "", s)
+    s = re.sub(IGNORE_PATTERN, "", s)
+    s = re.sub(r"\s+'", "'", s)
+    for pat, repl in REPLACERS:
+        s = re.sub(pat, repl, s)
+    s = re.sub(r"(\d),(\d)", r"\1\2", s)
+    s = re.sub(r"\.([^0-9]|$)", r" \1", s)
+    s = remove_symbols_and_diacritics(s, keep=KEEP_SYMBOLS)
+    s = EnglishNumberNormalizer()(s)
+    s = EnglishSpellingNormalizer()(s)
+    s = re.sub(r"[.$¢€£]([^0-9])", r" \1", s)
+    s = re.sub(r"([^0-9])%", r"\1 ", s)
+    s = re.sub(r"\s+", " ", s)
+    return s
+
+
 def external_normalizer():
     """The real whisper_normalizer EnglishTextNormalizer if installed."""
     try:

@@ -58,3 +58,93 @@ def test_port_matches_real_package_on_nonnumeric_cases():
         if any(ch.isdigit() for ch in case):
             continue  # number FST is a documented identity pass here
         assert english_text_normalizer(case) == ext(case)
+
+
+# ---------------------------------------------------------------------------
+# round 3: the number FST + spelling table (whisper_en_numbers.py)
+# ---------------------------------------------------------------------------
+
+from dataflow_mm_lrt_spark.functions.whisper_en_numbers import (  # noqa: E402
+    EnglishNumberNormalizer,
+    EnglishSpellingNormalizer,
+)
+from dataflow_mm_lrt_spark.operators.refine import english_normalize_full  # noqa: E402
+from dataflow_mm_lrt_spark.oracle.whisper_en import (  # noqa: E402
+    english_text_normalizer_full,
+)
+
+# (input after the symbol-cleanup stage, expected) — each from the
+# published Whisper normalizer's documented behavior
+NUM_CASES = [
+    ("one hundred and twenty three", "123"),
+    ("one hundred and twenty three dollars", "$123"),
+    ("nineteen eighty four", "1984"),
+    ("twenty twelve", "2012"),
+    ("five thousand two hundred", "5200"),
+    ("two point five percent", "2.5%"),
+    ("five per cent", "5%"),
+    ("double oh seven", "007"),
+    ("triple seven", "777"),
+    ("three dollars fifty cents", "$3.50"),
+    ("fifty cents", "¢50"),
+    ("minus five", "-5"),
+    ("first", "1st"),
+    ("twenty first", "21st"),
+    ("twentieth", "20th"),
+    ("hundredth", "100th"),
+    ("one million", "1000000"),
+    ("1.5 million", "1500000"),
+    ("7 hundred", "700"),
+    ("one point two five", "1.25"),
+    ("zero point five", "0.5"),
+    ("two and a half", "2.5"),
+    ("a minute and a half", "a minute and a half"),
+    ("one", "one"),          # postprocess keeps standalone one as a word
+    ("no numbers here at all", "no numbers here at all"),
+    ("twos", "2s"),
+    ("the 3rd of may", "the 3rd of may"),
+]
+
+
+def test_number_fst_cases():
+    num = EnglishNumberNormalizer()
+    for inp, exp in NUM_CASES:
+        assert num(inp) == exp, f"{inp!r}: {num(inp)!r} != {exp!r}"
+
+
+def test_spelling_table():
+    sp = EnglishSpellingNormalizer()
+    assert sp("the colour of the centre organised a dialogue") == (
+        "the color of the center organized a dialog"
+    )
+    assert sp("travelling theatre programmes") == "traveling theater programs"
+    assert sp("unknown words unchanged") == "unknown words unchanged"
+
+
+def test_full_engine_matches_python_twin(spark):
+    texts = [f"{inp} with trailing words" for inp, _ in NUM_CASES] + CASES
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r["doc_id"]: r["text_norm"] for r in english_normalize_full(df).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == english_text_normalizer_full(t), f"case {i}: {t!r}"
+
+
+def test_full_engine_on_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = english_normalize_full(docs).select("text", "text_norm").collect()
+    for r in out:
+        assert r["text_norm"] == english_text_normalizer_full(r["text"])
+
+
+@pytest.mark.skipif(
+    external_normalizer() is None,
+    reason="whisper_normalizer package not installed in this container",
+)
+def test_full_port_matches_real_package():
+    ext = external_normalizer()
+    for case in CASES + [c for c, _ in NUM_CASES]:
+        assert english_text_normalizer_full(case) == ext(case)
