@@ -1281,12 +1281,21 @@ FROM nt GROUP BY conv_id
 # zh snippets exercising banjiao, fillers, whitelist-protected erhua and
 # CJK/ASCII punctuation→space; expected outputs are fixed constants
 # (documents text is pure [a-z0-9 ] at every sf, so it passes through)
+# (input, expected) — expected values verified byte-for-byte against
+# the reference's own TextNorm(to_banjiao, remove_fillers, remove_erhua)
+# in tests/test_cn_tn.py; digit-bearing cases exercise the round-3
+# normalize_nsw verbalizer (functions/cn_tn_numbers.py)
 _ZH_CASES = [
     ("他女儿在那边儿，好吗", "他女儿在那边 好吗"),
     ("呃这个啊很好！", "这个很好 "),
-    ("ＡＢＣ１２３：ｄｅｆ", "ABC123 def"),
+    ("ＡＢＣ１２３：ｄｅｆ", "ABC一百二十三 def"),
     ("儿童节快乐", "儿童节快乐"),
     ("台儿庄战役在哪儿", "台儿庄战役在哪"),
+    ("我有123个苹果，占比3.5%", "我有一百二十三个苹果 占比百分之三点五"),
+    ("2024年1月5日花了2.5元", "二零二四年一月五日花了二点五元"),
+    ("电话13912345678，分数3/4", "电话一三九一二三四五六七八 分数四分之三"),
+    ("编号10005是第200名", "编号一零零零五是第两百名"),
+    ("Ｐ２Ｏ平台涨了0.5个百分点", "P2O平台涨了零点五个百分点"),
 ]
 
 

@@ -5,17 +5,19 @@ rule-driven steps — fullwidth→halfwidth (QJ2BJ, :63-160, the standard
 U+FF01–FF5E shift + ideographic space), case folding, filler removal
 (:31), whitelist-protected erhua removal (:1020-1044), punctuation→space
 (:54-59) and inter-token space handling (:1047-1056). The
-``normalize_nsw`` number verbalizer (cn_tn.py:169-983: CJK cardinal /
-digit / telephone / fraction / percent tables) is a documented identity
-pass — the same scoping rule as the Whisper number FST in
-``oracle/whisper_en.py``. ``cc_mode`` (OpenCC) and ``check_chars``
-(vocabulary table) are likewise out of container scope.
+``normalize_nsw`` number verbalizer (cn_tn.py:928-1017) is real as of
+round 3 — functions/cn_tn_numbers.py re-expresses the full CJK
+cardinal / digit / telephone / date / money / fraction / percent
+verbalization. ``cc_mode`` (OpenCC) and ``check_chars`` (vocabulary
+table) remain out of container scope.
 """
 
 from __future__ import annotations
 
 import re
 import string
+
+from ..functions.cn_tn_numbers import normalize_nsw
 
 # cn_tn.py:31
 FILLER_CHARS = ["呃", "啊"]
@@ -100,7 +102,7 @@ def text_norm_zh(
             text = text.replace(c, "")
     if do_remove_erhua:
         text = remove_erhua(text)
-    # normalize_nsw: identity (number verbalizer out of scope)
+    text = normalize_nsw(text)
     text = text.translate(PUNCS_TRANSFORM)
     if do_remove_space:
         text = remove_space(text)

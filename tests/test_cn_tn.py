@@ -6,6 +6,7 @@ reference loop semantics (cn_tn.py:1020-1116)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from dataflow_mm_lrt_spark.operators.refine import chinese_normalize_text
 from dataflow_mm_lrt_spark.oracle.cn_tn_port import (
@@ -24,7 +25,7 @@ def test_erhua_whitelist_protection():
 
 
 def test_banjiao_and_puncs():
-    assert text_norm_zh("ＡＢＣ１２３：ｄｅｆ", to_banjiao=True) == "ABC123 def"
+    assert text_norm_zh("ＡＢＣ１２３：ｄｅｆ", to_banjiao=True) == "ABC一百二十三 def"
     # without banjiao the fullwidth colon is still a CJK punc? It is in
     # CN_PUNCS_NONSTOP → space either way, but letters stay fullwidth
     assert text_norm_zh("ＡＢ！", to_banjiao=False) == "ＡＢ "
@@ -58,3 +59,97 @@ def test_engine_matches_port(spark):
             c, to_banjiao=True, remove_fillers=True, do_remove_erhua=True
         )
         assert got[i] == exp, f"case {i}: {c!r}"
+
+
+# ---------------------------------------------------------------------------
+# round 3: normalize_nsw (number verbalizer) — direct parity vs the
+# reference's own cn_tn.py where present (read-only import, env-gated)
+# ---------------------------------------------------------------------------
+
+import os
+
+REF_CN_TN = "/root/reference/dataflow/operators/core_audio/refine/cn_tn.py"
+
+
+def _ref_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("ref_cn_tn", REF_CN_TN)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+NSW_CASES = [
+    "我有123个苹果", "总共2.5元", "占比3.5%", "2024年1月5日开会",
+    "电话13912345678联系", "分数是3/4", "他花了1000块", "编号12345678",
+    "P2P平台", "O2O和B2C", "1990年代", "200只羊", "22个人", "10005种可能",
+    "0805号房间", "95年出生", "每月8号发工资", "涨了0.5个百分点",
+    "他在1层住了12天", "010-12345678是固话", "+86 13800138000也行",
+    "1.5万元", "第2名", "一共1000000元", "借我100块钱", "2月14日情人节",
+]
+
+
+def test_normalize_nsw_cases_stable():
+    """Golden behaviors of the verbalizer (validated against the
+    reference implementation when it is available)."""
+    from dataflow_mm_lrt_spark.functions.cn_tn_numbers import normalize_nsw, num2chn
+
+    assert normalize_nsw("我有123个苹果") == "我有一百二十三个苹果"
+    assert normalize_nsw("占比3.5%") == "占比百分之三点五"
+    assert normalize_nsw("2024年1月5日开会") == "二零二四年一月五日开会"
+    assert normalize_nsw("电话13912345678联系") == "电话一三九一二三四五六七八联系"
+    assert normalize_nsw("分数是3/4") == "分数是四分之三"
+    assert normalize_nsw("P2P平台") == "P2P平台"
+    assert num2chn("10005") == "一万零五"
+    assert num2chn("200") == "两百"
+    assert num2chn("22") == "二十二"
+    assert num2chn("0.5") == "零点五"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CN_TN), reason="reference not present")
+def test_normalize_nsw_matches_reference():
+    from dataflow_mm_lrt_spark.functions.cn_tn_numbers import normalize_nsw
+
+    ref = _ref_module()
+    for c in NSW_CASES:
+        assert normalize_nsw(c) == ref.normalize_nsw(c), c
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CN_TN), reason="reference not present")
+def test_normalize_nsw_matches_reference_fuzz():
+    """Random digit-bearing CJK strings: same output as the reference."""
+    import random
+
+    from dataflow_mm_lrt_spark.functions.cn_tn_numbers import normalize_nsw, num2chn
+
+    ref = _ref_module()
+    rng = random.Random(7)
+    frags = ["个", "元", "块", "%", "年", "月", "日", "号", "只", "米",
+             "张", "去", "买", "在", "了", " ", "/", ".", "-", "第"]
+    for _ in range(400):
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            if rng.random() < 0.5:
+                parts.append(str(rng.randint(0, 10 ** rng.randint(1, 10))))
+            else:
+                parts.append(rng.choice(frags))
+        s = "".join(parts)
+        assert normalize_nsw(s) == ref.normalize_nsw(s), repr(s)
+    for _ in range(400):
+        n = str(rng.randint(0, 10 ** rng.randint(1, 14)))
+        if rng.random() < 0.3:
+            n += "." + str(rng.randint(0, 999))
+        assert num2chn(n) == ref.num2chn(n), n
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CN_TN), reason="reference not present")
+def test_text_norm_zh_matches_reference_textnorm():
+    """Full pipeline parity: the port (which the Spark operator wraps)
+    vs the reference's TextNorm with matching options, digits included."""
+    ref = _ref_module()
+    tn = ref.TextNorm(to_banjiao=True, remove_fillers=True, remove_erhua=True)
+    for c in NSW_CASES + ["呃他有１２３个苹果啊", "那边儿有95只鸟"]:
+        assert text_norm_zh(
+            c, to_banjiao=True, remove_fillers=True, do_remove_erhua=True
+        ) == tn(c), c
