@@ -168,3 +168,65 @@ def test_salted_counts_match_batch(spark, join_ds, tmp_path):
     assert len(g) == len(e), f"{len(g)} vs {len(e)}"
     for c in ["conv_id", "window_start", "n_turns"]:
         assert (g[c].to_numpy() == e[c].to_numpy()).all(), c
+
+
+def test_streaming_asof_matches_batch_asof_join(spark, join_ds, tmp_path):
+    """asof_tool_context (range join + greatest-struct agg, two chained
+    watermark-evictable stateful ops) must equal the batch union-scan
+    asof_join row-for-row — including the deterministic tie rule."""
+    from dataflow_mm_lrt_spark.operators.joins import asof_join
+    from dataflow_mm_lrt_spark.streaming.join import asof_tool_context
+
+    # tolerance bounds BOTH the match window and the join's output-
+    # watermark delay (state must wait TOL past the turn): keep it small
+    # relative to the punctuation horizon or downstream agg never emits
+    TOL = 7200
+
+    d = join_ds
+    bt = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(str(d / "transcripts"))
+    be = spark.read.schema(TOOL_EVENT_SCHEMA).parquet(str(d / "tool_events"))
+    batch = asof_join(
+        bt,
+        be.select("conv_id", "tool", "payload", "ts"),
+        key_cols=["conv_id"],
+        ts_col="ts",
+        tolerance_seconds=TOL,
+    ).select(
+        "conv_id", "turn_idx", "ts", "tool_right", "payload_right", "ts_right"
+    ).toPandas()
+    # the same composed plan in batch mode is itself a parity point
+    batch2 = asof_tool_context(bt, be, tolerance_seconds=TOL).select(
+        "conv_id", "turn_idx", "ts", "tool_right", "payload_right", "ts_right"
+    ).toPandas()
+
+    st = transcript_stream(spark, str(d / "transcripts"), max_files_per_trigger=2)
+    se = tool_event_stream(spark, str(d / "tool_events"), max_files_per_trigger=2)
+    out = asof_tool_context(
+        st, se, tolerance_seconds=TOL,
+        turn_watermark="72 hours", event_watermark="72 hours",
+    ).select("conv_id", "turn_idx", "ts", "tool_right", "payload_right", "ts_right")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "asof_out"))
+        .option("checkpointLocation", str(tmp_path / "asof_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream = spark.read.parquet(str(tmp_path / "asof_out")).toPandas()
+
+    def canon(pdf):
+        pdf = pdf[pdf.conv_id != "__punctuation__"].copy()
+        for c in ("tool_right", "payload_right"):
+            pdf[c] = pdf[c].fillna("<null>")
+        pdf["ts_right"] = pdf["ts_right"].fillna(pd.Timestamp("1970-01-01"))
+        cols = ["conv_id", "turn_idx", "ts", "tool_right", "payload_right", "ts_right"]
+        return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+    g, e1, e2 = canon(stream), canon(batch), canon(batch2)
+    assert len(g) == len(e1) == len(e2), (len(g), len(e1), len(e2))
+    for c in g.columns:
+        gv = g[c].to_numpy()
+        assert (gv == e2[c].to_numpy()).all(), f"stream vs composed-batch: {c}"
+        assert (gv == e1[c].to_numpy()).all(), f"stream vs union-scan asof: {c}"
