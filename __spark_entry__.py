@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every query (full coverage — every
-    operator has a value-level oracle)."""
+    """DuckDB-equivalent SQL for every query except ``normalize_en_full``
+    (its spelled-number FST is a per-word state machine SQL cannot
+    express — rows-only by design; value-level parity for it lives in
+    tests/test_whisper_en.py against the Python twin)."""
     return dict(contract.ORACLES)

@@ -170,7 +170,13 @@ def main() -> None:
     scaling_dataset(sf)  # build the cache once, outside both timed children
     n_cores = os.cpu_count() or 32
     results = {}
-    for cpus in (8, 32):
+    # SPARK_GRAFT_LEG_ORDER=desc runs 32 before 8: on a thermally
+    # drifting box the later leg reads slower, so the two orders bracket
+    # the true ratio (asc biases efficiency down, desc biases it up)
+    legs = (8, 32)
+    if os.environ.get("SPARK_GRAFT_LEG_ORDER", "asc") == "desc":
+        legs = (32, 8)
+    for cpus in legs:
         # pin the process tree to exactly N physical cores — local[N] alone
         # does not bound GC/IO/python-worker threads, which would let the
         # small leg borrow the whole machine and understate scaling
