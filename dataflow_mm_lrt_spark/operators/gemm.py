@@ -78,6 +78,10 @@ def _merge_topk(
     return sims[rows, order], ids[rows, order]
 
 
+#: cap on the transient (nq × block) sims buffer: 2^25 doubles = 256 MB
+SIMS_BUDGET = 1 << 25
+
+
 def _topk_against(
     Q: np.ndarray, q_ids: np.ndarray,
     C: np.ndarray, c_ids: np.ndarray, k: int,
@@ -85,13 +89,19 @@ def _topk_against(
     """Top-k cosine candidates of each Q row against C (self-matches by
     id excluded), tiled over C in id order. Returns (sims, ids) of shape
     (nq, ≤k) each, sorted by (cosine desc, id asc). C must be given in
-    ascending c_ids order."""
+    ascending c_ids order.
+
+    The candidate tile narrows as the query count grows so the transient
+    sims matrix stays ≤ SIMS_BUDGET doubles — at the 100k-query
+    broadcast gate a fixed 8192-wide tile would be a 6.5 GB allocation
+    per partition."""
     nq = Q.shape[0]
+    block = max(64, min(BLOCK, SIMS_BUDGET // max(1, nq)))
     run_sims = np.empty((nq, 0))
     run_ids = np.empty((nq, 0), dtype=c_ids.dtype)
-    for lo in range(0, C.shape[0], BLOCK):
-        Cb = C[lo:lo + BLOCK]
-        ib = c_ids[lo:lo + BLOCK]
+    for lo in range(0, C.shape[0], block):
+        Cb = C[lo:lo + block]
+        ib = c_ids[lo:lo + block]
         sims = np.round(Q @ Cb.T, 6)
         sims[q_ids[:, None] == ib[None, :]] = -np.inf  # self
         order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
@@ -369,8 +379,9 @@ def cell_dup_pairs(
         B = _unit(_mat(cdf["_cemb"]))
         bids = cdf["id_b"].to_numpy()
         outs = []
-        for lo in range(0, len(bids), BLOCK):
-            Bb, ib = B[lo:lo + BLOCK], bids[lo:lo + BLOCK]
+        block = max(64, min(BLOCK, SIMS_BUDGET // max(1, len(aids))))
+        for lo in range(0, len(bids), block):
+            Bb, ib = B[lo:lo + block], bids[lo:lo + block]
             sims = np.round(A @ Bb.T, 6)
             mask = (sims >= thr) & (aids[:, None] < ib[None, :])
             ii, jj = np.nonzero(mask)

@@ -92,3 +92,26 @@ def test_lsh_cells_deterministic_and_complete(emb):
     cells = {r["cell"] for r in out}
     assert len(out) == emb.count()
     assert cells <= set(range(16))
+
+
+def test_gemm_topk_adaptive_block_matches_wide_block():
+    """The sims-buffer cap narrows the candidate tile for large query
+    sets; results must be identical to the wide-tile path."""
+    import numpy as np
+
+    from dataflow_mm_lrt_spark.operators import gemm
+
+    rng = np.random.default_rng(11)
+    Q = gemm._unit(rng.normal(size=(50, 16)))
+    C = gemm._unit(rng.normal(size=(1000, 16)))
+    qids = np.arange(50)
+    cids = np.arange(1000)
+    wide_s, wide_i = gemm._topk_against(Q, qids, C, cids, 5)
+    old_budget = gemm.SIMS_BUDGET
+    try:
+        gemm.SIMS_BUDGET = 50 * 64  # forces the minimum 64-wide tile
+        narrow_s, narrow_i = gemm._topk_against(Q, qids, C, cids, 5)
+    finally:
+        gemm.SIMS_BUDGET = old_budget
+    assert (wide_s == narrow_s).all()
+    assert (wide_i == narrow_i).all()
