@@ -110,12 +110,15 @@ def test_multimodal_feature_stub_deterministic(spark):
 
 
 def test_multimodal_real_decode_raises(spark):
-    media = multimodal.fake_media_df(spark, n=2)
+    """Undecodable bytes (not PPM/BMP/WAV/P6-stream, no optional libs)
+    raise CodecUnavailable on the real path (r3: uncompressed formats
+    now decode for real — see tests/test_codecs.py)."""
+    media = multimodal.fake_media_df(spark, n=2)  # garbage bytes
     try:
         multimodal.extract_features(media, fake=False).collect()
-        raise AssertionError("expected NotImplementedError from codec stub")
+        raise AssertionError("expected CodecUnavailable from unknown bytes")
     except Exception as e:  # Py4J wraps the worker exception
-        assert "NotImplementedError" in str(e) or "media codecs" in str(e)
+        assert "CodecUnavailable" in str(e) or "not PPM/BMP" in str(e)
 
 
 def test_multimodal_resize_stub(spark):
@@ -139,10 +142,8 @@ def test_multimodal_frame_sampling_one_to_n(spark):
 def test_multimodal_codec_gates_raise(spark):
     import pytest as _pytest
 
-    media = multimodal.fake_media_df(spark, n=3)
-    for op in (
-        lambda: multimodal.resize_media(media, 8, 8, fake=False).collect(),
-        lambda: multimodal.sample_frames(media, fake=False).collect(),
-    ):
-        with _pytest.raises(Exception, match="codecs unavailable"):
-            op()
+    media = multimodal.fake_media_df(spark, n=3)  # garbage bytes
+    with _pytest.raises(Exception, match="not PPM/BMP"):
+        multimodal.resize_media(media, 8, 8, fake=False).collect()
+    with _pytest.raises(Exception, match="not a concatenated-P6"):
+        multimodal.sample_frames(media, fake=False).collect()
