@@ -124,3 +124,29 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_gemm_brute_corpus_never_shuffles(spark):
+    """knn_brute_cosine's scale contract: the corpus streams map-side
+    through MapInPandas directly over the scan — any Exchange in the
+    plan sits ABOVE the kernel (the tiny top-k window merge), never
+    between the scan and the GEMM stage."""
+    plan = _plan(QUERIES["knn_brute_cosine"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    scan_pos = plan.find("Scan parquet")
+    gemm_pos = plan.find("MapInPandas")
+    assert scan_pos != -1 and gemm_pos != -1
+    seg = plan[min(scan_pos, gemm_pos): max(scan_pos, gemm_pos)]
+    assert "Exchange" not in seg  # nothing reshuffles the corpus
+
+
+def test_gemm_cell_paths_are_python_free_below_window(spark):
+    """ann_auto_cells: LSH cell assignment is pure Catalyst projection
+    (no Python node below the kernel), the kernel is Arrow-batched, and
+    no join operator appears (the equi-restriction moved inside the
+    kernel)."""
+    plan = _plan(QUERIES["ann_auto_cells"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "Join" not in plan
