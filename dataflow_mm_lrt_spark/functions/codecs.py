@@ -184,6 +184,25 @@ def sniff(buf: bytes) -> str:
     return "unknown"
 
 
+def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
+    """((n, ch) int16, rate) from PCM WAV; soundfile upgrade for the
+    rest (absent in this container → CodecUnavailable)."""
+    if sniff(buf) == "wav":
+        return decode_wav(buf)
+    try:  # optional-library upgrade
+        import io
+
+        import soundfile  # type: ignore
+
+        data, rate = soundfile.read(io.BytesIO(buf), dtype="int16",
+                                    always_2d=True)
+        return data, rate
+    except ImportError:
+        raise CodecUnavailable(
+            "bytes are not PCM WAV and soundfile is not installed"
+        ) from None
+
+
 def decode_image(buf: bytes) -> np.ndarray:
     """(H, W, 3) uint8 from PPM/BMP; PIL upgrade path for the rest."""
     kind = sniff(buf)

@@ -76,7 +76,7 @@ def _decode(content: bytes, kind: str, fake: bool) -> np.ndarray:
             dtype=np.float32,
         )
     if kind == "audio":
-        samples, rate = codecs.decode_wav(buf)
+        samples, rate = codecs.decode_audio(buf)
         x = samples.astype(np.float64).mean(axis=1)
         zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
         return np.array(

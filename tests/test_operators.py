@@ -118,7 +118,7 @@ def test_multimodal_real_decode_raises(spark):
         multimodal.extract_features(media, fake=False).collect()
         raise AssertionError("expected CodecUnavailable from unknown bytes")
     except Exception as e:  # Py4J wraps the worker exception
-        assert "CodecUnavailable" in str(e) or "not PPM/BMP" in str(e)
+        assert "CodecUnavailable" in str(e)  # any kind's task may surface first
 
 
 def test_multimodal_resize_stub(spark):
