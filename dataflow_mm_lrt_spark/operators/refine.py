@@ -239,11 +239,28 @@ def english_normalize_full(
     def _post(texts: pd.Series) -> pd.Series:
         num = EnglishNumberNormalizer()
         spell = EnglishSpellingNormalizer()
-        s = texts.fillna("").map(lambda t: spell(num(t)))
-        s = s.str.replace(r"[.$¢€£]([^0-9])", r" \1", regex=True)
-        s = s.str.replace(r"([^0-9])%", r"\1 ", regex=True)
-        s = s.str.replace(r"\s+", " ", regex=True)
-        return s
+        # trigger prefilter: a row with no digit, no number word and no
+        # GB spelling is a pure pass-through for both data passes — for
+        # those the FST's only observable effect is the token re-join,
+        # which vectorizes; the per-row state machine runs only on rows
+        # that can change (typically a small minority of a corpus)
+        num_words = sorted(num.words | {"half"}, key=len, reverse=True)
+        trigger = _re.compile(
+            r"\d|\b(?:" + "|".join(map(_re.escape, num_words)) + r")\b"
+        )
+        spell_trigger = _re.compile(
+            r"\b(?:" + "|".join(
+                map(_re.escape, sorted(spell.mapping, key=len, reverse=True))
+            ) + r")\b"
+        )
+        s = texts.fillna("")
+        slow = s.str.contains(trigger) | s.str.contains(spell_trigger)
+        out = s.str.split().str.join(" ")
+        out.loc[slow] = s.loc[slow].map(lambda t: spell(num(t)))
+        out = out.str.replace(r"[.$¢€£]([^0-9])", r" \1", regex=True)
+        out = out.str.replace(r"([^0-9])%", r"\1 ", regex=True)
+        out = out.str.replace(r"\s+", " ", regex=True)
+        return out
 
     return df.withColumn(out_col, _post(pre))
 
