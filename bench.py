@@ -54,6 +54,7 @@ HEADLINE = [
     # round-3 additions
     "ann_lsh_multiprobe",
     "answer_eval",
+    "normalize_en_full",
 ]
 
 
