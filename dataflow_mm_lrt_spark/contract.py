@@ -971,18 +971,21 @@ def q_kmeans_cells(spark, sf_dir):
     return out.select("vec_id", F.col("cell").cast("long").alias("cell"))
 
 
-def sql_kmeans_cells(k: int = 10, n_iters: int = 2):
-    """The engine's 2-step Lloyd fit, unrolled as DuckDB CTEs. Each
-    iteration is (assign → per-dim mean → coalesce empty cells); the
-    final SELECT is the assignment against the last centroids."""
-    dist = "list_sum(list_transform(list_zip(b.emb, c.cent), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+_KMEANS_DIST = "list_sum(list_transform(list_zip(b.emb, c.cent), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+
+
+def _kmeans_ctes(k: int = 10, n_iters: int = 2) -> tuple[list, str]:
+    """The engine's Lloyd fit unrolled as DuckDB CTEs (fixed n_iters →
+    straight-line SQL). Returns (cte_list, final_centroid_cte_name) so
+    both the cell-assignment oracle and the multiprobe ANN oracle build
+    on the identical recursion."""
 
     def assign(cent_cte: str, name: str) -> str:
         return f"""{name} AS (
   SELECT vec_id, emb, cell FROM (
     SELECT b.vec_id, b.emb, c.cell,
            row_number() OVER (PARTITION BY b.vec_id
-                              ORDER BY {dist} ASC, c.cell ASC) AS rn
+                              ORDER BY {_KMEANS_DIST} ASC, c.cell ASC) AS rn
     FROM base b CROSS JOIN {cent_cte} c
   ) WHERE rn = 1
 )"""
@@ -1014,7 +1017,62 @@ def sql_kmeans_cells(k: int = 10, n_iters: int = 2):
         ctes.append(update(f"a{i}", prev, f"c{i}"))
         prev = f"c{i}"
     ctes.append(assign(prev, "final"))
+    return ctes, prev
+
+
+def sql_kmeans_cells(k: int = 10, n_iters: int = 2):
+    """The engine's 2-step Lloyd fit, unrolled as DuckDB CTEs. Each
+    iteration is (assign → per-dim mean → coalesce empty cells); the
+    final SELECT is the assignment against the last centroids."""
+    ctes, _ = _kmeans_ctes(k, n_iters)
     return "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM final"
+
+
+KMEANS_NPROBE = 3
+
+
+def q_ann_kmeans_multiprobe(spark, sf_dir):
+    """Multi-probe IVF ANN over the k-means quantizer
+    (operators/similarity.ann_ivf_multiprobe): the corpus bucketed once
+    by nearest centroid, each query searching its KMEANS_NPROBE nearest
+    cells. Centroids come from the engine's deterministic Lloyd fit;
+    the oracle replays the identical unrolled recursion in DuckDB
+    (_kmeans_ctes) and then the same probe-list / per-cell search."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    cents = similarity.kmeans_fit(emb, k=10, n_iters=2)
+    out = similarity.ann_ivf_multiprobe(
+        emb, q, cents, k=KNN_K, nprobe=KMEANS_NPROBE
+    )
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def sql_ann_kmeans_multiprobe(k: int = 10, n_iters: int = 2):
+    ctes, cent = _kmeans_ctes(k, n_iters)
+    body = f"""probes AS (
+  SELECT vec_id AS query_id, emb, cell FROM (
+    SELECT b.vec_id, b.emb, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+                              ORDER BY {_KMEANS_DIST} ASC, c.cell ASC) AS rn
+    FROM (SELECT vec_id, emb FROM base WHERE vec_id % {QUERY_MOD} = 0) b
+    CROSS JOIN {cent} c
+  ) WHERE rn <= {KMEANS_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.emb, e.emb), 6) AS cosine
+  FROM probes p JOIN final e ON p.cell = e.cell AND p.query_id <> e.vec_id
+)"""
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n" + body + f"""
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {KNN_K}
+"""
+    )
 
 
 def q_role_tool_filter(spark, sf_dir):
@@ -1615,6 +1673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_cells": q_ann_lsh_cells,
     "ann_auto_cells": q_ann_auto_cells,
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+    "ann_kmeans_multiprobe": q_ann_kmeans_multiprobe,
     "kmeans_cells": q_kmeans_cells,
     "role_tool_filter": q_role_tool_filter,
 }
@@ -1667,6 +1726,7 @@ ORACLES: dict[str, str] = {
     "ann_lsh_cells": sql_ann_lsh_cells(),
     "ann_auto_cells": sql_ann_auto_cells(),
     "ann_lsh_multiprobe": sql_ann_lsh_multiprobe(),
+    "ann_kmeans_multiprobe": sql_ann_kmeans_multiprobe(),
     # kmeans_cells: n_iters is a fixed constant, so the Lloyd recursion
     # unrolls into straight-line SQL — a full value oracle after all
     "kmeans_cells": sql_kmeans_cells(),
