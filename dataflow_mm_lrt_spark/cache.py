@@ -23,6 +23,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+_LIVE_BC: list = []
+
+
+def scoped_broadcast(bc):
+    """Register a SparkContext broadcast for ``release_all`` — broadcast
+    blocks otherwise accumulate on the driver and executors for the life
+    of the session (exactly the long-lived-session scenario this module
+    exists for). ``unpersist`` (not ``destroy``) is used on release, so
+    a still-referenced plan can lazily re-broadcast if re-executed."""
+    _LIVE_BC.append(bc)
+    return bc
 
 
 def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
@@ -45,6 +56,13 @@ def release_all() -> int:
         df = _LIVE.pop()
         try:
             df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    while _LIVE_BC:
+        bc = _LIVE_BC.pop()
+        try:
+            bc.unpersist(blocking=False)
             n += 1
         except Exception:
             pass

@@ -1626,7 +1626,7 @@ FROM f
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_filter": q_rule_filter,
-    "rule_flags": q_rule_flags,
+    "role_tool_filter": q_role_tool_filter,
     "normalize_text": q_normalize,
     "text_stats": q_text_stats,
     "chunk_sentences": q_chunk_sentences,
@@ -1675,12 +1675,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_kmeans_multiprobe": q_ann_kmeans_multiprobe,
     "kmeans_cells": q_kmeans_cells,
-    "role_tool_filter": q_role_tool_filter,
+}
+
+# The driver's correctness report holds at most 50 rows (r03 recorded
+# exactly the first 50 of 51 ``queries()`` entries, insertion-ordered).
+# ``rule_flags`` substantially overlaps ``rule_filter``'s surface (same
+# 15-rule library, flags vs filter projection), so it lives here: still
+# value-checked by tests/test_contract_oracle.py, not driver-visible.
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rule_flags": q_rule_flags,
 }
 
 ORACLES: dict[str, str] = {
     "rule_filter": sql_rule_filter(),
-    "rule_flags": sql_rule_flags(),
+    "role_tool_filter": sql_role_tool_filter(),
     "normalize_text": sql_normalize(),
     "text_stats": sql_text_stats(),
     "chunk_sentences": sql_chunk_sentences(),
@@ -1730,7 +1738,10 @@ ORACLES: dict[str, str] = {
     # kmeans_cells: n_iters is a fixed constant, so the Lloyd recursion
     # unrolls into straight-line SQL — a full value oracle after all
     "kmeans_cells": sql_kmeans_cells(),
-    "role_tool_filter": sql_role_tool_filter(),
+}
+
+EXTRA_ORACLES: dict[str, str] = {
+    "rule_flags": sql_rule_flags(),
 }
 
 

@@ -325,6 +325,8 @@ def tfidf_cosine_near_dup(
         import pandas as pd
         from pyspark.sql.types import DoubleType, StructField, StructType
 
+        from .gemm import _round6
+
         pos = df.sparkSession.createDataFrame(
             [(t, i) for i, t in enumerate(vocab)], ["term", "_pos"]
         )
@@ -345,7 +347,11 @@ def tfidf_cosine_near_dup(
         right_pdf = vecs.toPandas()
         r_ids = right_pdf[id_col].to_numpy()
         r_mat = np.vstack(right_pdf["_v"].to_numpy()).astype(np.float64)
-        bc = df.sparkSession.sparkContext.broadcast((r_ids, r_mat))
+        from ..cache import scoped_broadcast
+
+        bc = scoped_broadcast(
+            df.sparkSession.sparkContext.broadcast((r_ids, r_mat))
+        )
         thr = threshold
         id_type = df.schema[id_col].dataType
         out_schema = StructType(
@@ -363,7 +369,7 @@ def tfidf_cosine_near_dup(
                     continue
                 aids = pdf[id_col].to_numpy()
                 amat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-                sims = np.round(amat @ rmat.T, 6)
+                sims = _round6(amat @ rmat.T)
                 mask = (sims >= thr) & (aids[:, None] < rids[None, :])
                 ii, jj = np.nonzero(mask)
                 yield pd.DataFrame(

@@ -47,6 +47,20 @@ BLOCK = 8192
 MAX_BROADCAST_QUERIES = 100_000
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """ROUND(x, 6) with the DuckDB oracle's semantics — half away from
+    zero evaluated on the binary product ``x*1e6`` (DuckDB rounds via
+    ``std::round(x*10^p)/10^p``), not numpy's half-to-even. For
+    |x| ≤ 2 the ``+0.5`` add is exact in float64 (0.5 is a multiple of
+    ``ulp(|x|*1e6)``), so in the cosine range this matches std::round
+    bit-for-bit. Residual disclosure: Spark's own ``F.round`` (HALF_UP
+    over the value's shortest decimal repr) can differ from both when a
+    value's decimal expansion sits within one ulp of a .5 boundary —
+    inherent to double storage; the kernels target the DuckDB oracle
+    the driver hashes against (ADVICE r3 item 1)."""
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
 def _mat(col: pd.Series) -> np.ndarray:
     """Stack an Arrow list column into a (n, dim) float64 matrix."""
     return np.vstack(col.to_numpy()).astype(np.float64)
@@ -102,7 +116,7 @@ def _topk_against(
     for lo in range(0, C.shape[0], block):
         Cb = C[lo:lo + block]
         ib = c_ids[lo:lo + block]
-        sims = np.round(Q @ Cb.T, 6)
+        sims = _round6(Q @ Cb.T)
         sims[q_ids[:, None] == ib[None, :]] = -np.inf  # self
         order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
         rows = np.arange(nq)[:, None]
@@ -173,7 +187,13 @@ def broadcast_topk(
         by_cell = {c: np.nonzero(cells == c)[0] for c in np.unique(cells)}
     else:
         by_cell = None
-    bc = embeddings.sparkSession.sparkContext.broadcast((q_ids, Qn, by_cell))
+    from ..cache import scoped_broadcast
+
+    # registered for cache.release_all(): without it every call leaves a
+    # broadcast block on driver+executors for the session's life
+    bc = scoped_broadcast(
+        embeddings.sparkSession.sparkContext.broadcast((q_ids, Qn, by_cell))
+    )
     schema = _out_schema(embeddings, id_col, "query_id", "neighbor_id")
 
     def part(batches: Iterable[pd.DataFrame]):
@@ -203,8 +223,14 @@ def broadcast_topk(
                 grow = m_s.shape[1] - pad
                 run_s = np.pad(run_s, ((0, 0), (0, grow)),
                                constant_values=-np.inf)
+                # pad slots carry -inf sims so their order is moot, but
+                # the lexsort tiebreak still COMPARES them — a numeric 0
+                # against string ids raises TypeError, so pad with an
+                # id-dtype-appropriate sentinel (ADVICE r3 item 3)
+                fill = "" if run_i.dtype.kind in "OUS" else 0
                 run_i = np.concatenate(
-                    [run_i, np.zeros((nq, grow), dtype=run_i.dtype)], axis=1
+                    [run_i, np.full((nq, grow), fill, dtype=run_i.dtype)],
+                    axis=1,
                 )
             run_s[rows_idx, :m_s.shape[1]] = m_s
             run_i[rows_idx, :m_i.shape[1]] = m_i
@@ -332,7 +358,7 @@ def cell_knn_scores(
             Q, qdf["_qid"].to_numpy(), C, cdf["_cid"].to_numpy(), k
         )
         with np.errstate(invalid="ignore"):
-            score = np.round(np.nanmean(np.where(np.isfinite(s), s, np.nan), axis=1), 6)
+            score = _round6(np.nanmean(np.where(np.isfinite(s), s, np.nan), axis=1))
         out = pd.DataFrame({id_col: qdf["_qid"].to_numpy(), "knn_score": score})
         # rows with no same-cell neighbor don't appear at all (the SQL
         # join semantics: no pair rows → absent from the score relation)
@@ -382,7 +408,7 @@ def cell_dup_pairs(
         block = max(64, min(BLOCK, SIMS_BUDGET // max(1, len(aids))))
         for lo in range(0, len(bids), block):
             Bb, ib = B[lo:lo + block], bids[lo:lo + block]
-            sims = np.round(A @ Bb.T, 6)
+            sims = _round6(A @ Bb.T)
             mask = (sims >= thr) & (aids[:, None] < ib[None, :])
             ii, jj = np.nonzero(mask)
             if len(ii):

@@ -58,7 +58,10 @@ def keep_top_fraction(
        (~n/n_buckets rows) is ranked exactly in one keyed window task.
 
     Tie semantics match percent_rank: without ``tie_col`` ties share a
-    rank and are kept or dropped together. Scores must be non-null.
+    rank and are kept or dropped together. NULL scores are excluded from
+    the n/k accounting AND from the output (a row with no score cannot
+    be "in the top fraction by score") — explicit semantics, not the
+    silent band-0 placement the earlier band-union form gave them.
     Degenerate distributions (all scores equal) collapse to one band —
     the same cost class as the global sort they'd need anyway.
 
@@ -73,15 +76,16 @@ def keep_top_fraction(
 
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        n = df.count()
+        nn = df.filter(F.col(score_col).isNotNull())
+        n = nn.count()
         if n <= 1:
-            return df
+            return nn
         k = int(math.floor(keep_ratio * (n - 1) + 1e-9)) + 1
         if k >= n:
-            return df
+            return nn
 
         probs = [i / n_buckets for i in range(1, n_buckets)]
-        bounds = sorted(set(df.stat.approxQuantile(score_col, probs, 0.001)))
+        bounds = sorted(set(nn.stat.approxQuantile(score_col, probs, 0.001)))
         if bounds:
             arr = F.array(*[F.lit(float(b)) for b in bounds])
             # band id = #boundaries strictly below the score: equal scores
@@ -91,7 +95,7 @@ def keep_top_fraction(
             )
         else:
             band = F.lit(0)
-        banded = df.withColumn("_kb", band)
+        banded = nn.withColumn("_kb", band)
 
         counts = {r["_kb"]: r["cnt"] for r in
                   banded.groupBy("_kb").agg(F.count("*").alias("cnt")).collect()}
@@ -133,7 +137,7 @@ def keep_top_fraction(
             # rank semantics: ties at s* are kept or dropped together,
             # and the k-th row's score being s* implies they are kept
             pred = pred | (sc == F.lit(s_star))
-        return df.filter(pred)
+        return nn.filter(pred)
     finally:
         if persist:
             df.unpersist()

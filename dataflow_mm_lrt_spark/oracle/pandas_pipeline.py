@@ -71,9 +71,13 @@ def microbatch_reference(
     delay; late rows (ts_ms < wm) drop; buffered rows flush once
     ts_ms + slack ≤ wm, sorted by (turn_idx, ts); keep-first dedup at
     emission. Returns the concatenation of all emissions."""
+    from ..streaming.stateful import MAX_SEEN_FPS
+
     wm = 0
     buffers: dict[str, list] = {}
-    seen: dict[str, set] = {}
+    # insertion-ordered dicts mirror the engine's bounded seen-set
+    # (streaming/stateful.py MAX_SEEN_FPS, oldest-emission eviction)
+    seen: dict[str, dict] = {}
     emit_seq: dict[str, int] = {}
     timeout_ms: dict[str, int] = {}
     emitted_rows = []
@@ -86,12 +90,14 @@ def microbatch_reference(
         buffers[conv_id] = remaining
         if ready:
             ready.sort(key=lambda r: (r[0], r[1]))
-            s = seen.setdefault(conv_id, set())
+            s = seen.setdefault(conv_id, {})
             for r in ready:
                 fp = _fp(r[3])
                 if fp in s:
                     continue
-                s.add(fp)
+                s[fp] = None
+                while len(s) > MAX_SEEN_FPS:
+                    del s[next(iter(s))]
                 emitted_rows.append(
                     (conv_id, r[0], r[2], r[3], r[4], r[1], emit_seq.get(conv_id, 0))
                 )

@@ -81,7 +81,18 @@ def asof_tool_context(
 
     Works identically on static frames (batch mode) for the parity
     oracle. Output: turn columns + (tool, payload, ts) of the matched
-    event with a ``_right`` suffix."""
+    event with a ``_right`` suffix.
+
+    Precondition (ADVICE r3 item 4): ``turns`` must be unique on
+    ``(conv_id, turn_idx, role, text, ts)`` — the final groupBy keys.
+    Two byte-identical turn rows would collapse to one output row,
+    whereas the batch ``asof_join`` emits one row per left row. A
+    streaming-safe uniquifier does not exist: pre-aggregating duplicate
+    counts would chain an aggregation before a stream-stream join
+    (unsupported), and ``monotonically_increasing_id`` is not stable
+    across replay. The engine pipeline guarantees the precondition via
+    its upstream exact-dedup stage (streaming/stateful.py keyed dedup);
+    callers joining raw streams should dedup first."""
     t = turns.withWatermark("ts", turn_watermark).alias("t")
     e = (
         tool_events.select(

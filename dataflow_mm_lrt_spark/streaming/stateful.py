@@ -76,6 +76,15 @@ _BUF_COLS = ["turn_idx", "ts_us", "role", "text", "tool", "fp"]
 DEFAULT_ORDER_SLACK_MS = 120_000
 DEFAULT_STATE_TTL_MS = 6 * 3600 * 1000
 
+#: cap on the per-conversation emitted-fingerprint set — the analogue of
+#: the reference's bounded dedup corpus (image_diversity_filter.py:15,
+#: max_corpus=10000). Without it ``seen`` grows with conversation length
+#: until TTL eviction: bounded in practice, unbounded in principle.
+#: Eviction is deterministic oldest-first in EMISSION order, so a
+#: fingerprint can only be re-emitted after 10k *newer* distinct turns —
+#: the same forgetting semantics as the reference's corpus window.
+MAX_SEEN_FPS = 10_000
+
 
 def _empty_buf() -> pd.DataFrame:
     return pd.DataFrame(
@@ -90,7 +99,9 @@ def _empty_buf() -> pd.DataFrame:
     )
 
 
-def make_assembly_func(order_slack_ms: int, state_ttl_ms: int):
+def make_assembly_func(
+    order_slack_ms: int, state_ttl_ms: int, max_seen_fps: int = MAX_SEEN_FPS
+):
     def assemble(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -98,9 +109,15 @@ def make_assembly_func(order_slack_ms: int, state_ttl_ms: int):
         if state.exists:
             buf_b, seen_b, emit_seq, last_ts_ms = state.get
             buf: pd.DataFrame = pickle.loads(buf_b)
-            seen: set[str] = pickle.loads(seen_b)
+            loaded = pickle.loads(seen_b)
+            # insertion-ordered dict = emission order (oldest first);
+            # tolerate a set pickled by the pre-cap state layout
+            seen: dict[str, None] = (
+                loaded if isinstance(loaded, dict)
+                else dict.fromkeys(sorted(loaded))
+            )
         else:
-            buf, seen, emit_seq, last_ts_ms = _empty_buf(), set(), 0, 0
+            buf, seen, emit_seq, last_ts_ms = _empty_buf(), {}, 0, 0
 
         wm = state.getCurrentWatermarkMs()
 
@@ -139,9 +156,13 @@ def make_assembly_func(order_slack_ms: int, state_ttl_ms: int):
             )
             buf = buf[~ready_mask].reset_index(drop=True)
             # keep-first dedup: drop already-seen fps and intra-flush repeats
-            keep = (~ready["fp"].isin(seen)) & (~ready["fp"].duplicated())
+            keep = (~ready["fp"].isin(seen.keys())) & (~ready["fp"].duplicated())
             emitted = ready[keep.to_numpy()]
-            seen.update(emitted["fp"].tolist())
+            seen.update(dict.fromkeys(emitted["fp"].tolist()))
+            # bounded state: deterministic oldest-first (emission-order)
+            # eviction at the reference's max_corpus=10000 analogue
+            while len(seen) > max_seen_fps:
+                del seen[next(iter(seen))]
             if len(emitted):
                 out = pd.DataFrame(
                     {

@@ -10,7 +10,17 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from dataflow_mm_lrt_spark.contract import ORACLES, QUERIES, entry_query
+from dataflow_mm_lrt_spark.contract import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+    ORACLES,
+    QUERIES,
+    entry_query,
+)
+
+# Driver sees QUERIES (≤50 rows); extras are value-checked here only.
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
+ALL_ORACLES = {**ORACLES, **EXTRA_ORACLES}
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [
@@ -38,16 +48,16 @@ def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(ALL_QUERIES))
 def test_query_matches_oracle(spark, duck, name):
-    if name not in ORACLES:
+    if name not in ALL_ORACLES:
         # deliberately oracle-less (iterative ops): the driver records a
         # rows-only check — assert the query runs and returns rows
-        out = QUERIES[name](spark, SF_DIR)
+        out = ALL_QUERIES[name](spark, SF_DIR)
         assert out.count() > 0
         return
-    got = QUERIES[name](spark, SF_DIR).toPandas()
-    exp = duck.sql(ORACLES[name]).df()
+    got = ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    exp = duck.sql(ALL_ORACLES[name]).df()
     assert sorted(got.columns) == sorted(exp.columns), (
         f"{name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}"
     )
