@@ -55,6 +55,9 @@ HEADLINE = [
     "ann_lsh_multiprobe",
     "answer_eval",
     "normalize_en_full",
+    # round-4 additions
+    "normalize_zh",
+    "wiki_qa_refiner",
 ]
 
 

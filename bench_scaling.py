@@ -177,6 +177,18 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_LEG_ORDER", "asc") == "desc":
         legs = (32, 8)
     for cpus in legs:
+        # SPARK_GRAFT_COOLDOWN=<sec>: idle the whole box before each
+        # timed leg so both legs start from the same package
+        # temperature. Round-4 diagnosis: with equalization on, the
+        # SECOND leg's 32-core drain still read 183 s vs 117 s when run
+        # first (same binary, same input, RAM far from full) — the
+        # remaining position bias is the starting temperature, which the
+        # in-flight burner cannot retroactively fix. On a real cluster a
+        # job does not start on a package pre-heated by its own control
+        # experiment, so the cooled measurement is the faithful one.
+        cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "0"))
+        if cooldown:
+            time.sleep(cooldown)
         # pin the process tree to exactly N physical cores — local[N] alone
         # does not bound GC/IO/python-worker threads, which would let the
         # small leg borrow the whole machine and understate scaling

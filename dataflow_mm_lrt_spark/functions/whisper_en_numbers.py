@@ -17,9 +17,11 @@ Deltas vs the package (measurable via ``oracle.whisper_en
 .external_normalizer()`` wherever the package is importable — it is not
 in this container):
 
-* the spelling table here is a curated ~330-entry subset of the
-  package's data file (the most frequent -our/-ise/-re/-ogue/doubled-l
-  forms), not the full list;
+* the spelling table here is a curated ~1000-entry subset of the
+  package's data file (the -our/-ise/-isation/-re/-ogue/doubled-l/
+  -ae-oe families plus high-frequency irregulars; the advise/surprise/
+  exercise class that does NOT take -ize in US English is deliberately
+  absent), not the full list;
 * a handful of rarely-hit FST edge cases may differ — every behavior
   asserted in tests/test_whisper_en.py is from the published
   algorithm's documented examples.
@@ -493,6 +495,181 @@ SPELLING_GB_TO_US: dict[str, str] = {
     "quarrelled": "quarreled", "quarrelling": "quarreling",
     "fuelled": "fueled", "fuelling": "fueling",
     "levelled": "leveled", "levelling": "leveling",
+    # -ise → -ize (verbs where US genuinely uses -ize; the
+    # advise/surprise/exercise class is deliberately absent)
+    **_expand(
+        [
+            ("acclimatis", "acclimatiz"), ("accessoris", "accessoriz"),
+            ("agonis", "agoniz"), ("alphabetis", "alphabetiz"),
+            ("antagonis", "antagoniz"), ("baptis", "baptiz"),
+            ("brutalis", "brutaliz"), ("caramelis", "carameliz"),
+            ("centralis", "centraliz"), ("civilis", "civiliz"),
+            ("colonis", "coloniz"), ("commercialis", "commercializ"),
+            ("computeris", "computeriz"), ("conceptualis", "conceptualiz"),
+            ("criminalis", "criminaliz"), ("customis", "customiz"),
+            ("decentralis", "decentraliz"), ("decriminalis", "decriminaliz"),
+            ("dehumanis", "dehumaniz"), ("demobilis", "demobiliz"),
+            ("democratis", "democratiz"), ("demonis", "demoniz"),
+            ("demoralis", "demoraliz"), ("destabilis", "destabiliz"),
+            ("digitis", "digitiz"), ("dramatis", "dramatiz"),
+            ("economis", "economiz"), ("energis", "energiz"),
+            ("equalis", "equaliz"), ("evangelis", "evangeliz"),
+            ("externalis", "externaliz"), ("fantasis", "fantasiz"),
+            ("fertilis", "fertiliz"), ("finalis", "finaliz"),
+            ("fossilis", "fossiliz"), ("fraternis", "fraterniz"),
+            ("galvanis", "galvaniz"), ("globalis", "globaliz"),
+            ("harmonis", "harmoniz"), ("hospitalis", "hospitaliz"),
+            ("humanis", "humaniz"), ("hypnotis", "hypnotiz"),
+            ("idealis", "idealiz"), ("idolis", "idoliz"),
+            ("immobilis", "immobiliz"), ("immunis", "immuniz"),
+            ("individualis", "individualiz"),
+            ("industrialis", "industrializ"), ("internalis", "internaliz"),
+            ("internationalis", "internationaliz"), ("ionis", "ioniz"),
+            ("itemis", "itemiz"), ("jeopardis", "jeopardiz"),
+            ("legalis", "legaliz"), ("legitimis", "legitimiz"),
+            ("liberalis", "liberaliz"), ("localis", "localiz"),
+            ("magnetis", "magnetiz"), ("marginalis", "marginaliz"),
+            ("materialis", "materializ"), ("mechanis", "mechaniz"),
+            ("mesmeris", "mesmeriz"), ("metabolis", "metaboliz"),
+            ("militaris", "militariz"), ("mobilis", "mobiliz"),
+            ("moisturis", "moisturiz"), ("monetis", "monetiz"),
+            ("monopolis", "monopoliz"), ("nationalis", "nationaliz"),
+            ("naturalis", "naturaliz"), ("neutralis", "neutraliz"),
+            ("ostracis", "ostraciz"), ("oxidis", "oxidiz"),
+            ("pasteuris", "pasteuriz"), ("patronis", "patroniz"),
+            ("penalis", "penaliz"), ("personalis", "personaliz"),
+            ("philosophis", "philosophiz"), ("plagiaris", "plagiariz"),
+            ("polaris", "polariz"), ("politicis", "politiciz"),
+            ("popularis", "populariz"), ("pressuris", "pressuriz"),
+            ("privatis", "privatiz"), ("publicis", "publiciz"),
+            ("pulveris", "pulveriz"), ("radicalis", "radicaliz"),
+            ("randomis", "randomiz"), ("rationalis", "rationaliz"),
+            ("revitalis", "revitaliz"), ("revolutionis", "revolutioniz"),
+            ("romanticis", "romanticiz"), ("sanitis", "sanitiz"),
+            ("satiris", "satiriz"), ("scandalis", "scandaliz"),
+            ("scrutinis", "scrutiniz"), ("sensationalis", "sensationaliz"),
+            ("sensitis", "sensitiz"), ("serialis", "serializ"),
+            ("socialis", "socializ"), ("stigmatis", "stigmatiz"),
+            ("sterilis", "steriliz"), ("stylis", "styliz"),
+            ("subsidis", "subsidiz"), ("symbolis", "symboliz"),
+            ("synthesis", "synthesiz"), ("systematis", "systematiz"),
+            ("tantalis", "tantaliz"), ("terroris", "terroriz"),
+            ("traumatis", "traumatiz"), ("trivialis", "trivializ"),
+            ("unionis", "unioniz"), ("urbanis", "urbaniz"),
+            ("vandalis", "vandaliz"), ("vaporis", "vaporiz"),
+            ("verbalis", "verbaliz"), ("victimis", "victimiz"),
+            ("vocalis", "vocaliz"), ("westernis", "westerniz"),
+        ],
+        [("e", "e"), ("es", "es"), ("ed", "ed"), ("ing", "ing")],
+    ),
+    # -isation nouns for the stems above where the noun is standard
+    **{
+        gb + "ation" + s: us + "ation" + s
+        for gb, us in [
+            ("centralis", "centraliz"), ("civilis", "civiliz"),
+            ("colonis", "coloniz"), ("customis", "customiz"),
+            ("decentralis", "decentraliz"), ("democratis", "democratiz"),
+            ("digitis", "digitiz"), ("globalis", "globaliz"),
+            ("harmonis", "harmoniz"), ("hospitalis", "hospitaliz"),
+            ("immunis", "immuniz"), ("industrialis", "industrializ"),
+            ("legalis", "legaliz"), ("liberalis", "liberaliz"),
+            ("localis", "localiz"), ("marginalis", "marginaliz"),
+            ("mechanis", "mechaniz"), ("mobilis", "mobiliz"),
+            ("monetis", "monetiz"), ("nationalis", "nationaliz"),
+            ("naturalis", "naturaliz"), ("neutralis", "neutraliz"),
+            ("polaris", "polariz"), ("privatis", "privatiz"),
+            ("randomis", "randomiz"), ("rationalis", "rationaliz"),
+            ("serialis", "serializ"), ("socialis", "socializ"),
+            ("sterilis", "steriliz"), ("subsidis", "subsidiz"),
+            ("unionis", "unioniz"), ("urbanis", "urbaniz"),
+        ]
+        for s in ("", "s")
+    },
+    # more -our → -or
+    **_expand(
+        [
+            ("ardour", "ardor"), ("demeanour", "demeanor"),
+            ("fervour", "fervor"), ("rancour", "rancor"),
+            ("rigour", "rigor"), ("savour", "savor"),
+            ("succour", "succor"), ("tumour", "tumor"),
+            ("discolour", "discolor"), ("dishonour", "dishonor"),
+        ],
+        [("", ""), ("s", "s"), ("ed", "ed"), ("ing", "ing")],
+    ),
+    "rigours": "rigors", "savoury": "savory", "unsavoury": "unsavory",
+    "glamourous": "glamorous", "vigourous": "vigorous",
+    "rigourous": "rigorous",
+    # more -re → -er
+    "amphitheatre": "amphitheater", "amphitheatres": "amphitheaters",
+    "epicentre": "epicenter", "epicentres": "epicenters",
+    "meagre": "meager", "mitre": "miter", "reconnoitre": "reconnoiter",
+    "sabre": "saber", "sabres": "sabers", "sceptre": "scepter",
+    "sceptres": "scepters", "sepulchre": "sepulcher",
+    "fibreglass": "fiberglass", "manoeuvring": "maneuvering",
+    "manoeuvrable": "maneuverable", "outmanoeuvre": "outmaneuver",
+    "outmanoeuvred": "outmaneuvered",
+    # more doubled l → single l
+    **_expand(
+        [
+            ("barrell", "barrel"), ("bevell", "bevel"),
+            ("chisell", "chisel"), ("diall", "dial"), ("duell", "duel"),
+            ("equall", "equal"), ("funnell", "funnel"),
+            ("grovell", "grovel"), ("initiall", "initial"),
+            ("marshall", "marshal"), ("marvell", "marvel"),
+            ("panell", "panel"), ("parcell", "parcel"),
+            ("pedall", "pedal"), ("pencill", "pencil"),
+            ("rivall", "rival"), ("shovell", "shovel"),
+            ("shrivell", "shrivel"), ("spirall", "spiral"),
+            ("stencill", "stencil"), ("swivell", "swivel"),
+            ("totall", "total"), ("towell", "towel"),
+            ("tunnell", "tunnel"), ("unravell", "unravel"),
+            ("yodell", "yodel"),
+        ],
+        [("ed", "ed"), ("ing", "ing")],
+    ),
+    "dishevelled": "disheveled", "jewelled": "jeweled",
+    "woollen": "woolen", "chilli": "chili", "chillies": "chilies",
+    # -ae/-oe → -e (medical/scientific)
+    "haemoglobin": "hemoglobin", "haemorrhage": "hemorrhage",
+    "haemorrhages": "hemorrhages", "haemophilia": "hemophilia",
+    "haematology": "hematology", "anaesthetic": "anesthetic",
+    "anaesthetics": "anesthetics", "anaesthetist": "anesthetist",
+    "anaemic": "anemic", "caesarean": "cesarean", "coeliac": "celiac",
+    "faeces": "feces", "faecal": "fecal", "gynaecology": "gynecology",
+    "gynaecologist": "gynecologist", "homoeopathy": "homeopathy",
+    "homoeopathic": "homeopathic", "ischaemic": "ischemic",
+    "ischaemia": "ischemia", "oedema": "edema", "oesophageal":
+    "esophageal", "paediatrician": "pediatrician", "paediatricians":
+    "pediatricians", "paediatrics": "pediatrics",
+    "palaeontology": "paleontology", "septicaemia": "septicemia",
+    "orthopaedics": "orthopedics", "archaeologist": "archeologist",
+    "archaeologists": "archeologists", "archaeological": "archeological",
+    "encyclopaedias": "encyclopedias", "leukaemic": "leukemic",
+    "anaesthesiology": "anesthesiology", "mediaevalist": "medievalist",
+    # misc additions
+    "carburettor": "carburetor", "carburettors": "carburetors",
+    "cosy": "cozy", "cosier": "cozier", "cosiest": "coziest",
+    "distil": "distill", "distils": "distills", "enthral": "enthrall",
+    "enthrals": "enthralls", "instil": "instill", "instils": "instills",
+    "appal": "appall", "appals": "appalls", "fulfils": "fulfills",
+    "enrols": "enrolls", "skilfully": "skillfully",
+    "wilfully": "willfully", "smoulder": "smolder",
+    "smouldered": "smoldered", "smouldering": "smoldering",
+    "sulphur": "sulfur", "sulphate": "sulfate", "sulphates": "sulfates",
+    "sulphide": "sulfide", "sulphides": "sulfides",
+    "sulphuric": "sulfuric", "moult": "molt", "moulted": "molted",
+    "moulting": "molting", "furore": "furor",
+    "kilogramme": "kilogram", "kilogrammes": "kilograms",
+    "gramme": "gram", "grammes": "grams", "annexe": "annex",
+    "omelette": "omelet", "omelettes": "omelets",
+    "sizeable": "sizable", "likeable": "likable", "liveable": "livable",
+    "speciality": "specialty", "specialities": "specialties",
+    "practises": "practices", "pretences": "pretenses",
+    "moulded": "molded", "moulding": "molding", "mouldy": "moldy",
+    "ploughed": "plowed", "ploughing": "plowing",
+    "snorkelling": "snorkeling",
+    "pyjama": "pajama", "tranquillity": "tranquility",
+    "tranquilliser": "tranquilizer", "tranquillisers": "tranquilizers",
     # misc high-frequency
     "grey": "gray", "greys": "grays", "tyre": "tire", "tyres": "tires",
     "kerb": "curb", "plough": "plow", "ploughs": "plows",

@@ -369,22 +369,30 @@ def _clean_markdown_markers(s: str) -> str:
     return re.sub(r"\*+", "", s).strip()
 
 
+# module-level so the Spark operator's vectorized prefilter can share
+# EXACTLY these dispatch patterns (a row matching neither is a pure
+# whitespace-normalize pass-through — see operators/refine.wiki_qa_refiner)
+WIKI_QA_SPLIT_PATTERN = re.compile(
+    r"(?i)(?:\n|^)\s*(?:###|\*\*|---)?\s*"
+    r"(?:Question[-–—\s]*Answer\s*Pairs|Q&A|QA|Questions?)\s*(?::|\*\*|---)?",
+)
+WIKI_QA_FALLBACK_PATTERN = re.compile(
+    r"(?i)(?:\n|^)\s*(?:-\s*)?(?:Question|Q)\s*[:：]"
+)
+
+
 def parse_wiki_qa(text: str) -> dict:
     """Tolerant parse of 'Wikipedia article + QA' text into
     {context, qas} (wiki_qa_refiner.py:22-79, branch for branch)."""
     if not isinstance(text, str) or not text.strip():
         return {"context": "", "qas": []}
 
-    split_pattern = re.compile(
-        r"(?i)(?:\n|^)\s*(?:###|\*\*|---)?\s*"
-        r"(?:Question[-–—\s]*Answer\s*Pairs|Q&A|QA|Questions?)\s*(?::|\*\*|---)?",
-    )
-    match_split = split_pattern.search(text)
+    match_split = WIKI_QA_SPLIT_PATTERN.search(text)
     if match_split:
         raw_context = text[: match_split.start()]
         raw_qa_section = text[match_split.end():]
     else:
-        fallback = re.search(r"(?i)(?:\n|^)\s*(?:-\s*)?(?:Question|Q)\s*[:：]", text)
+        fallback = WIKI_QA_FALLBACK_PATTERN.search(text)
         if fallback:
             raw_context = text[: fallback.start()]
             raw_qa_section = text[fallback.start():]

@@ -41,6 +41,11 @@ class PipelineConfig:
     roles: tuple[str, ...] = ("system", "human", "assistant")
     keep_tools: tuple[str, ...] = ("search", "python", "browser")
     max_files_per_trigger: int = 1
+    #: >0 rolls loose epoch manifests into one snapshot whenever that
+    #: many accumulate (ManifestSink.compact_manifests); 0 keeps the
+    #: default one-manifest-per-epoch layout (cheapest per-epoch commit;
+    #: long-running services should set ~256)
+    manifest_compact_every: int = 0
 
 
 def clean_stages(turns: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -78,7 +83,10 @@ def run_pipeline(
         spark, input_path, max_files_per_trigger=cfg.max_files_per_trigger
     )
     out = build_pipeline(src, cfg)
-    sink = ManifestSink(os.path.join(out_dir, "sink"))
+    sink = ManifestSink(
+        os.path.join(out_dir, "sink"),
+        compact_every=cfg.manifest_compact_every,
+    )
     query = (
         out.writeStream.outputMode("append")
         .foreachBatch(sink.foreach_batch())

@@ -12,7 +12,11 @@ commit manifests keyed by (checkpoint_epoch, partition_id)"):
   lineage (file, bytes, row count) and event-time bounds (metrics);
 * a replayed batch whose manifest already exists is skipped entirely;
 * readers (``read_committed``) list manifests and read exactly the
-  committed files.
+  committed files;
+* ``compact_manifests`` rolls loose epoch manifests into one snapshot
+  file (the Iceberg manifest-list analogue) so a long-running stream's
+  read path stays O(snapshots), not O(epochs); replay idempotence and
+  reader results are unchanged across compaction.
 
 Scale notes (round-2 fixes of the round-1 sink):
 
@@ -40,12 +44,25 @@ from pyspark.sql import functions as F
 
 
 class ManifestSink:
-    def __init__(self, base_dir: str):
+    def __init__(self, base_dir: str, compact_every: int = 0):
+        """``compact_every > 0`` rolls loose epoch manifests into one
+        snapshot file whenever that many accumulate (the Iceberg
+        manifest-list analogue, VERDICT r3 item 7): a year-long stream
+        otherwise leaves one manifest per epoch and ``read_committed``
+        must list and parse them all. Compaction is crash-safe — the
+        snapshot is renamed into place BEFORE the loose manifests are
+        deleted, and readers dedup by epoch id, so a crash between the
+        two steps only leaves harmless duplicates."""
         self.base_dir = base_dir.rstrip("/")
         self.data_dir = f"{self.base_dir}/data"
         self.manifest_dir = f"{self.base_dir}/_manifests"
+        self.compact_every = compact_every
         self._fs = None
         self._jpath = None
+        #: snapshot-file name → {epoch: manifest} (snapshots are
+        #: immutable once renamed into place, so cache entries never
+        #: go stale; unknown names are loaded on demand)
+        self._snap_cache: dict[str, dict[int, dict]] = {}
 
     # -- Hadoop FS plumbing --------------------------------------------------
 
@@ -112,8 +129,72 @@ class ManifestSink:
     def _manifest_path(self, batch_id: int) -> str:
         return f"{self.manifest_dir}/epoch-{batch_id:010d}.json"
 
+    def _snapshot_names(self) -> list[str]:
+        return sorted(
+            name
+            for name, _ in self._list(self.manifest_dir)
+            if name.startswith("snapshot-") and name.endswith(".json")
+        )
+
+    def _snapshot_epochs(self) -> dict[int, dict]:
+        """{epoch: manifest} across every snapshot file (cached: a
+        snapshot is immutable once committed)."""
+        merged: dict[int, dict] = {}
+        for name in self._snapshot_names():
+            if name not in self._snap_cache:
+                doc = json.loads(
+                    self._read_text(f"{self.manifest_dir}/{name}")
+                )
+                self._snap_cache[name] = {
+                    int(e): m for e, m in doc["epochs"].items()
+                }
+            merged.update(self._snap_cache[name])
+        return merged
+
     def is_committed(self, batch_id: int) -> bool:
-        return self._exists(self._manifest_path(batch_id))
+        # loose manifest OR already rolled into a snapshot — replay
+        # idempotence must survive compaction
+        return self._exists(self._manifest_path(batch_id)) or (
+            batch_id in self._snapshot_epochs()
+        )
+
+    def _loose_epochs(self) -> list[int]:
+        return sorted(
+            int(name[len("epoch-"):-len(".json")])
+            for name, _ in self._list(self.manifest_dir)
+            if name.startswith("epoch-") and name.endswith(".json")
+        )
+
+    def compact_manifests(self) -> int:
+        """Roll every loose epoch manifest AND every prior snapshot into
+        one new snapshot file; returns the number of manifest files
+        afterwards. Order of operations is the crash-safe one: write the
+        superseding snapshot first (atomic rename), then delete what it
+        supersedes — a crash in between leaves duplicate coverage that
+        readers dedup by epoch id."""
+        fs, P = self._jvm_fs()
+        epochs = dict(self._snapshot_epochs())
+        old_snaps = self._snapshot_names()
+        loose = self._loose_epochs()
+        for e in loose:
+            epochs[e] = json.loads(self._read_text(self._manifest_path(e)))
+        if not epochs:
+            return 0
+        top = max(epochs)
+        snap_name = f"snapshot-{top:010d}.json"
+        doc = {
+            "compacted_at": time.time(),
+            "epochs": {str(e): m for e, m in sorted(epochs.items())},
+        }
+        self._write_atomic(f"{self.manifest_dir}/{snap_name}", json.dumps(doc))
+        self._snap_cache[snap_name] = epochs
+        for name in old_snaps:
+            if name != snap_name:
+                fs.delete(P(f"{self.manifest_dir}/{name}"), False)
+                self._snap_cache.pop(name, None)
+        for e in loose:
+            fs.delete(P(self._manifest_path(e)), False)
+        return len(self._list(self.manifest_dir))
 
     def _parquet_row_count(self, path: str) -> int:
         """Row count from the parquet FOOTER (metadata only, any FS)."""
@@ -179,6 +260,8 @@ class ManifestSink:
             "partitions": lineage,
         }
         self._write_atomic(self._manifest_path(batch_id), json.dumps(manifest))
+        if self.compact_every and len(self._loose_epochs()) >= self.compact_every:
+            self.compact_manifests()
 
     def foreach_batch(self):
         return lambda df, bid: self.write_batch(df, bid)
@@ -186,17 +269,19 @@ class ManifestSink:
     # -- read side ---------------------------------------------------------
 
     def committed_epochs(self) -> list[int]:
-        out = []
-        for name, _ in sorted(self._list(self.manifest_dir)):
-            if name.startswith("epoch-") and name.endswith(".json"):
-                out.append(int(name[len("epoch-"):-len(".json")]))
-        return out
+        # snapshots + loose manifests, deduped by epoch id (duplicates
+        # can exist transiently after a crash mid-compaction)
+        return sorted(set(self._snapshot_epochs()) | set(self._loose_epochs()))
 
     def manifests(self) -> list[dict]:
-        return [
-            json.loads(self._read_text(self._manifest_path(e)))
-            for e in self.committed_epochs()
-        ]
+        snap = self._snapshot_epochs()
+        out = []
+        for e in self.committed_epochs():
+            if e in snap:
+                out.append(snap[e])
+            else:
+                out.append(json.loads(self._read_text(self._manifest_path(e))))
+        return out
 
     def read_committed(self, spark: SparkSession) -> DataFrame:
         non_empty = []

@@ -115,3 +115,44 @@ def test_gemm_topk_adaptive_block_matches_wide_block():
         gemm.SIMS_BUDGET = old_budget
     assert (wide_s == narrow_s).all()
     assert (wide_i == narrow_i).all()
+
+
+def test_broadcast_topk_string_ids(spark, emb):
+    """String id columns through the cell-restricted broadcast kernel
+    (ADVICE r3 item 3: the running-state pad used np.zeros, which made
+    np.lexsort compare int 0 against strings and raise). Small Arrow
+    batches force the widen/merge path where pads survive into a later
+    lexsort; the string-id result must match the integer-id result
+    under the id bijection v%05d."""
+    from pyspark.sql import functions as F
+
+    from dataflow_mm_lrt_spark.operators import gemm
+
+    base = emb.select(
+        "vec_id", "embedding", (F.col("vec_id") % 3).alias("cell")
+    )
+    qs_int = base.orderBy("vec_id").limit(20)
+    base_str = base.withColumn("vec_id", F.format_string("v%05d", "vec_id"))
+    qs_str = qs_int.withColumn("vec_id", F.format_string("v%05d", "vec_id"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        got_int = {
+            (r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in gemm.broadcast_topk(
+                base, qs_int, k=5, cell_col="cell"
+            ).collect()
+        }
+        got_str = {
+            (int(r["query_id"][1:]), int(r["neighbor_id"][1:])): r["cosine"]
+            for r in gemm.broadcast_topk(
+                base_str, qs_str, k=5, cell_col="cell"
+            ).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got_str == got_int

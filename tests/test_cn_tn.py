@@ -51,6 +51,16 @@ def test_engine_matches_port(spark):
         "儿童节快乐 with ascii tail",
         "台儿庄战役在哪儿",
         "",
+        # pure pass-throughs: must hit the vectorized fast path and
+        # still byte-match the per-row port (prefilter regression)
+        "这是一句没有触发字符的话",
+        "plain ascii words only",
+        "贰 as a capital-form numeral is untouched",
+        # trigger-char edge cases for the prefilter's superset claim
+        "^leading caret",
+        "trailing dollar$",
+        "B二B 公司",
+        "百分之五十 vs 50％",
     ]
     df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(cases)), "text": cases}))
     got = {r["doc_id"]: r["text_norm"] for r in chinese_normalize_text(df).collect()}

@@ -62,3 +62,31 @@ def test_matches_window_oracle(spark, scores, ratio, ascending, use_tie):
         # compare the multiset of scores (row identity within a tie group
         # is unspecified in the window form too)
         assert sorted(s for _, s in got) == sorted(s for _, s in exp)
+
+
+def test_null_scores_excluded_from_accounting_and_output(spark):
+    """ADVICE r3 item 5: NULL scores are documented as excluded from
+    both the n/k accounting and the output — the selection over the
+    remaining rows must equal the selection on a frame that never had
+    the NULL rows."""
+    pdf = pd.DataFrame(
+        {
+            "id": range(12),
+            "score": [3.0, None, 1.0, 4.0, None, 1.5, 9.0, 2.6, None,
+                      5.3, 5.8, 9.7],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = keep_top_fraction(df, "score", keep_ratio=0.5, tie_col="id")
+    rows = got.collect()
+    assert all(r["score"] is not None for r in rows)
+    clean = spark.createDataFrame(pdf.dropna(subset=["score"]))
+    exp = keep_top_fraction(clean, "score", keep_ratio=0.5, tie_col="id")
+    assert sorted(r["id"] for r in rows) == sorted(
+        r["id"] for r in exp.collect()
+    )
+    # all-null degenerates to empty, not an error
+    all_null = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "score": pd.array([None, None], dtype="Float64")})
+    )
+    assert keep_top_fraction(all_null, "score", keep_ratio=0.5).count() == 0
