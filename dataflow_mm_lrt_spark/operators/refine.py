@@ -210,7 +210,25 @@ def english_normalize_text(
     expression chain (see functions/whisper_en.py for scope notes)."""
     from ..functions.whisper_en import english_normalize_sql
 
-    return df.withColumn(out_col, F.expr(english_normalize_sql("spark", text_col)))
+    # the regexp chain is CPU-heavy enough that a 1-file bench corpus
+    # must not run it on one core (same rationale as _spread_batch)
+    return _spread_batch(df).withColumn(
+        out_col, F.expr(english_normalize_sql("spark", text_col))
+    )
+
+
+def _spread_batch(df: DataFrame) -> DataFrame:
+    """Arrow-UDF stages over a small file count would otherwise run in
+    as few tasks as there are input splits (a 1-file bench corpus = one
+    core doing all the per-row work) — spread batch inputs to the
+    cluster parallelism first. No-op on streaming frames (repartition
+    would add an exchange per micro-batch) and at real scale where
+    splits >> cores (dedup._spread's guard)."""
+    if df.isStreaming:
+        return df
+    from .dedup import _spread
+
+    return _spread(df)
 
 
 def english_normalize_full(
@@ -233,6 +251,7 @@ def english_normalize_full(
         EnglishSpellingNormalizer,
     )
 
+    df = _spread_batch(df)
     pre = F.expr(english_normalize_sql("spark", text_col, pre_numbers=True))
 
     @F.pandas_udf(StringType())
@@ -332,7 +351,7 @@ def chinese_normalize_text(
         )
         return out
 
-    return df.withColumn(out_col, _norm(F.col(text_col)))
+    return _spread_batch(df).withColumn(out_col, _norm(F.col(text_col)))
 
 
 def wiki_qa_refiner(
@@ -392,4 +411,8 @@ def wiki_qa_refiner(
             qas[i] = [(qa["question"], qa["answer"]) for qa in p["qas"]]
         return pd.DataFrame({"context": context, "qas": qas})
 
+    # NB: no _spread_batch here — with the prefilter the parse is so
+    # light that the repartition exchange costs more than it buys
+    # (measured 0.60 s -> 1.00 s at sf0.1); the heavy-UDF refiners
+    # (zh, en-full) are the ones that repay the shuffle
     return df.withColumn(output_col, _parse(F.col(text_col)))
