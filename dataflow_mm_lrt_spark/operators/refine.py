@@ -183,7 +183,10 @@ def answer_eval(
                 ]
         return res
 
-    return df.withColumn(
+    # WER/ROUGE kernels are per-row Python on 2 of 5 dispatch branches —
+    # heavy enough to repay spreading a narrow batch input (see
+    # _spread_batch; no-op for streaming / many-split inputs)
+    return _spread_batch(df).withColumn(
         reward_col, _reward(F.col(solution_col), F.col(output_col), F.col(qtype_col))
     )
 

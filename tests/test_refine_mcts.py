@@ -49,6 +49,7 @@ def test_range_filter_schema_tolerant(spark):
 def test_answer_eval_matches_port(spark):
     rows = pd.DataFrame(
         {
+            "rid": [0, 1, 2, 3],
             "solution": ["<answer>B</answer>", "<answer>3.14</answer>",
                           "<answer>a b c d</answer>", "<answer>10</answer>"],
             "model_output": ["<answer>B</answer>", "<answer>3.15</answer>",
@@ -56,19 +57,18 @@ def test_answer_eval_matches_port(spark):
             "problem_type": ["multiple choice", "numerical", "OCR", "regression"],
         }
     )
-    out = (
-        refine.answer_eval(spark.createDataFrame(rows))
-        .toPandas()
-        .sort_values("problem_type")
-    )
     exp = [
         ref.calculate_reward(s, o, q)
         for s, o, q in zip(rows.solution, rows.model_output, rows.problem_type)
     ]
+    # keyed, not positional: the operator spreads its input, so output
+    # row order is not the input order
     got = (
-        refine.answer_eval(spark.createDataFrame(rows)).toPandas()["reward"].tolist()
+        refine.answer_eval(spark.createDataFrame(rows))
+        .toPandas()
+        .set_index("rid")["reward"]
     )
-    assert all(abs(a - b) < 1e-9 for a, b in zip(got, exp))
+    assert all(abs(got[i] - e) < 1e-9 for i, e in enumerate(exp))
 
 
 def test_basic_normalize(spark):
