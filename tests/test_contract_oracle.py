@@ -82,3 +82,13 @@ def test_entry_runs(spark):
     assert {"lang", "lang_pred", "n_docs", "avg_quality", "total_tokens"} <= set(
         out.columns
     )
+
+
+def test_driver_contract_stays_within_50_rows():
+    """The driver's correctness report records at most 50 rows
+    (insertion-ordered) — r03 silently dropped entry 51. Keep the
+    driver-visible dict at the cap; overflow belongs in EXTRA_QUERIES."""
+    assert len(QUERIES) <= 50
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(EXTRA_ORACLES) <= set(EXTRA_QUERIES)
+    assert not (set(EXTRA_QUERIES) & set(QUERIES))
