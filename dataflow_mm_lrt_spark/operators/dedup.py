@@ -111,9 +111,16 @@ def minhash_lsh(
 
     left = banded.alias("l")
     right = banded.alias("r")
+    # merge-join hint: without it the planner may broadcast one side of
+    # the self-join, RE-COMPUTING the whole signature pipeline (scan →
+    # shingle → 16 permutations → band explode) to build the broadcast
+    # table — 2× the dominant cost, and a corpus-sized broadcast at real
+    # scale. With identical shuffles on (band_idx, band_hash) the second
+    # side becomes a ReusedExchange: one signature pass, band-bucketed
+    # join (asserted in tests/test_plans.py::test_minhash_lsh_plan_shape).
     pairs = (
         left.join(
-            right,
+            right.hint("merge"),
             on=[
                 F.col("l.band_idx") == F.col("r.band_idx"),
                 F.col("l.band_hash") == F.col("r.band_hash"),

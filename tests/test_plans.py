@@ -150,3 +150,29 @@ def test_gemm_cell_paths_are_python_free_below_window(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert "Join" not in plan
+
+
+def test_minhash_lsh_plan_shape(spark):
+    """The band self-join must be an equi-join on (band_idx, band_hash)
+    with NO cross/nested-loop product, the signature exchange must be
+    computed once (ReusedExchange on the self-join's second side, not a
+    second full minhash pipeline), and the narrow input must be spread
+    to cluster parallelism before the CPU-heavy hashing (VERDICT r4
+    item 2 — excludes plan drift as the cause of a bench swing)."""
+    df = QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-join on the band keys (hash-partitioned SortMergeJoin or
+    # ShuffledHashJoin — either is band-bucketed, never all-pairs)
+    assert "band_hash" in plan and "band_idx" in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    # the second side of the self-join must reuse the first side's
+    # shuffle — one minhash-signature computation, not two. AQE applies
+    # exchange reuse at stage materialization, so assert on the FINAL
+    # executed plan (the initial explain always shows duplicate
+    # subtrees under AQE).
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
+    assert "CartesianProduct" not in final
