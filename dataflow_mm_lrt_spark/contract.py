@@ -1178,11 +1178,13 @@ def q_normalize_en_full(spark, sf_dir):
     """The COMPLETE Whisper-style en normalizer including the
     spelled-number FST and the British→American spelling table
     (operators/refine.english_normalize_full) over digit/spelled-number
-    bearing text. No DuckDB oracle: the number FST is a per-word
-    sequential state machine (functions/whisper_en_numbers.py) that SQL
-    cannot express — the driver records a rows-only check; the full
-    value-level parity test vs the Python twin is
-    tests/test_whisper_en.py::test_full_engine_matches_python_twin."""
+    bearing text. The number FST is a per-word sequential state machine
+    (functions/whisper_en_numbers.py) that SQL cannot COMPUTE — the
+    DuckDB oracle instead LOOKS UP a committed golden parquet
+    (goldens/normalize_en_full.parquet, generated once by
+    tools/gen_en_full_golden.py from the pure-Python twin that the
+    non-circular golden suite tests/test_whisper_en_golden.py
+    validates), joined on md5 of the derived input text."""
     from .operators import refine
 
     k = len(_EN_NUM_SNIPPETS)
@@ -1195,6 +1197,30 @@ def q_normalize_en_full(spark, sf_dir):
     )
     out = refine.english_normalize_full(docs, text_col="_en_text")
     return out.select("doc_id", "text_norm")
+
+
+def sql_normalize_en_full():
+    # value oracle by LOOKUP: the committed golden parquet maps
+    # md5(derived input) → expected text_norm (see q_normalize_en_full
+    # docstring). The inner join drops nothing as long as the golden
+    # covers the fixture's derived inputs (generated for sf0.001 and
+    # sf0.01); a regenerated fixture would surface as a row-count
+    # mismatch, never as a silent pass.
+    import os as _os
+
+    k = len(_EN_NUM_SNIPPETS)
+    snips = ", ".join(DIALECT_DUCKDB.lit(s) for s in _EN_NUM_SNIPPETS)
+    en_text = f"(([{snips}])[(d.doc_id % {k}) + 1] || ' ' || d.text)"
+    golden = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "goldens",
+        "normalize_en_full.parquet",
+    )
+    return (
+        f"SELECT d.doc_id, g.text_norm AS text_norm "
+        f"FROM documents d "
+        f"JOIN read_parquet('{golden}') g ON md5({en_text}) = g.input_md5"
+    )
 
 
 def q_functional_refiner(spark, sf_dir):
@@ -1227,8 +1253,14 @@ def q_keep_top_fraction(spark, sf_dir):
 
 
 def sql_keep_top_fraction():
+    # WHERE value IS NOT NULL pins the engine's NULL semantics
+    # (ranking.py: NULL scores are excluded from both the n/k accounting
+    # and the output) — without it, NULL rows would inflate the
+    # percent_rank denominator and the oracle would keep more non-null
+    # rows than the engine whenever events.value contains NULLs
     return """
 SELECT event_id, value FROM events
+WHERE value IS NOT NULL
 QUALIFY percent_rank() OVER (ORDER BY value DESC, event_id ASC) <= 0.5
 """
 
@@ -1723,6 +1755,7 @@ ORACLES: dict[str, str] = {
     "answer_eval": sql_answer_eval(),
     "mcts_tree_refiner": sql_mcts_chains(),
     "normalize_en": sql_normalize_en(),
+    "normalize_en_full": sql_normalize_en_full(),
     "normalize_zh": sql_normalize_zh(),
     "asof_join": sql_asof_join(),
     "interval_join": sql_interval_join(),

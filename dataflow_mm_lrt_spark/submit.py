@@ -30,7 +30,8 @@ def make_zip(out_path: str) -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in files:
-                if fn.endswith(".py"):
+                # .parquet: packaged data (goldens/ oracle fixtures)
+                if fn.endswith((".py", ".parquet")):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, base))
     return out_path
