@@ -17,11 +17,12 @@ Deltas vs the package (measurable via ``oracle.whisper_en
 .external_normalizer()`` wherever the package is importable — it is not
 in this container):
 
-* the spelling table here is a curated ~1000-entry subset of the
-  package's data file (the -our/-ise/-isation/-re/-ogue/doubled-l/
-  -ae-oe families plus high-frequency irregulars; the advise/surprise/
-  exercise class that does NOT take -ize in US English is deliberately
-  absent), not the full list;
+* the spelling table here is a curated ~1800-entry reconstruction of
+  the package's data file (the -our/-ise/-yse/-isation/-re/-ogue/
+  doubled-l/-ae-oe families plus the irregular long tail; the advise/
+  surprise/exercise class that does NOT take -ize in US English is
+  deliberately absent) — near-complete, but entries were curated from
+  the published families, not copied from the JSON;
 * a handful of rarely-hit FST edge cases may differ — every behavior
   asserted in tests/test_whisper_en.py is from the published
   algorithm's documented examples.
@@ -696,6 +697,244 @@ SPELLING_GB_TO_US: dict[str, str] = {
     "instalments": "installments", "skilful": "skillful",
     "wilful": "willful",
 }
+
+# round-5 completion toward the package's full data file: the remaining
+# -ise verb families, the -yse class, and the irregular long tail (all
+# standard GB→US pairs; the advise/surprise/exercise class that does
+# NOT take -ize in US English stays deliberately absent)
+SPELLING_GB_TO_US.update(
+    _expand(
+        [
+            ("amortis", "amortiz"), ("anglicis", "angliciz"),
+            ("anodis", "anodiz"), ("atomis", "atomiz"),
+            ("bowdleris", "bowdleriz"), ("burglaris", "burglariz"),
+            ("canonis", "canoniz"),
+            ("carbonis", "carboniz"), ("cauteris", "cauteriz"),
+            ("circularis", "circulariz"), ("collectivis", "collectiviz"),
+            ("compartmentalis", "compartmentaliz"),
+            ("containeris", "containeriz"),
+            ("contextualis", "contextualiz"),
+            ("crystallis", "crystalliz"), ("decarbonis", "decarboniz"),
+            ("decolonis", "decoloniz"),
+            ("dematerialis", "dematerializ"),
+            ("demilitaris", "demilitariz"), ("deodoris", "deodoriz"),
+            ("depersonalis", "depersonaliz"), ("depolaris", "depolariz"),
+            ("deputis", "deputiz"), ("desensitis", "desensitiz"),
+            ("destigmatis", "destigmatiz"), ("devitalis", "devitaliz"),
+            ("disorganis", "disorganiz"), ("dogmatis", "dogmatiz"),
+            ("epitomis", "epitomiz"), ("eulogis", "eulogiz"),
+            ("extemporis", "extemporiz"), ("factoris", "factoriz"),
+            ("federalis", "federaliz"), ("feminis", "feminiz"),
+            ("fictionalis", "fictionaliz"),
+            ("gelatinis", "gelatiniz"), ("ghettois", "ghettoiz"),
+            ("glamoris", "glamoriz"), ("homogenis", "homogeniz"),
+            ("hybridis", "hybridiz"), ("hypothesis", "hypothesiz"),
+            ("initialis", "initializ"),
+            ("institutionalis", "institutionaliz"),
+            ("intellectualis", "intellectualiz"),
+            ("ironis", "ironiz"), ("lionis", "lioniz"),
+            ("lyricis", "lyriciz"), ("medicalis", "medicaliz"),
+            ("memorialis", "memorializ"),
+            ("miniaturis", "miniaturiz"), ("modularis", "modulariz"),
+            ("mythologis", "mythologiz"), ("narcotis", "narcotiz"),
+            ("novelis", "noveliz"),
+            ("operationalis", "operationaliz"), ("ozonis", "ozoniz"),
+            ("parameteris", "parameteriz"), ("particularis", "particulariz"),
+            ("pedestrianis", "pedestrianiz"),
+            ("photosynthesis", "photosynthesiz"),
+            ("plasticis", "plasticiz"), ("pluralis", "pluraliz"),
+            ("poetis", "poetiz"), ("polymeris", "polymeriz"),
+            ("problematis", "problematiz"),
+            ("professionalis", "professionaliz"),
+            ("propagandis", "propagandiz"), ("proselytis", "proselytiz"),
+            ("psychoanalys", "psychoanalyz"), ("quantis", "quantiz"),
+            ("recapitalis", "recapitaliz"), ("recolonis", "recoloniz"),
+            ("regularis", "regulariz"), ("reorganis", "reorganiz"),
+            ("rhapsodis", "rhapsodiz"), ("ritualis", "ritualiz"),
+            ("secularis", "seculariz"), ("securitis", "securitiz"),
+            ("sermonis", "sermoniz"), ("sexualis", "sexualiz"),
+            ("signalis", "signaliz"), ("singularis", "singulariz"),
+            ("sloganis", "sloganiz"), ("solemnis", "solemniz"),
+            ("solubilis", "solubiliz"), ("temporis", "temporiz"),
+            ("tenderis", "tenderiz"), ("tokenis", "tokeniz"),
+            ("transistoris", "transistoriz"), ("tyrannis", "tyranniz"),
+            ("underutilis", "underutiliz"),
+            ("universalis", "universaliz"), ("vectoris", "vectoriz"),
+            ("vulcanis", "vulcaniz"), ("vulgaris", "vulgariz"),
+            ("weaponis", "weaponiz"), ("winteris", "winteriz"),
+            ("womanis", "womaniz"),
+        ],
+        [("e", "e"), ("es", "es"), ("ed", "ed"), ("ing", "ing")],
+    )
+)
+SPELLING_GB_TO_US.update(
+    _expand(
+        [
+            ("electrolys", "electrolyz"), ("dialys", "dialyz"),
+            ("hydrolys", "hydrolyz"), ("reanalys", "reanalyz"),
+            ("breathalys", "breathalyz"),
+        ],
+        [("e", "e"), ("es", "es"), ("ed", "ed"), ("ing", "ing")],
+    )
+)
+SPELLING_GB_TO_US.update(
+    {
+        gb + "ation" + s: us + "ation" + s
+        for gb, us in [
+            ("amortis", "amortiz"), ("atomis", "atomiz"),
+            ("canonis", "canoniz"), ("cauteris", "cauteriz"),
+            ("collectivis", "collectiviz"),
+            ("crystallis", "crystalliz"), ("decarbonis", "decarboniz"),
+            ("decolonis", "decoloniz"),
+            ("demilitaris", "demilitariz"), ("deodoris", "deodoriz"),
+            ("depersonalis", "depersonaliz"),
+            ("depolaris", "depolariz"), ("desensitis", "desensitiz"),
+            ("factoris", "factoriz"), ("federalis", "federaliz"),
+            ("feminis", "feminiz"),
+            ("homogenis", "homogeniz"), ("hybridis", "hybridiz"),
+            ("initialis", "initializ"),
+            ("institutionalis", "institutionaliz"),
+            ("ionis", "ioniz"), ("miniaturis", "miniaturiz"),
+            ("modularis", "modulariz"), ("particularis", "particulariz"),
+            ("pedestrianis", "pedestrianiz"), ("pluralis", "pluraliz"),
+            ("polymeris", "polymeriz"), ("quantis", "quantiz"),
+            ("recapitalis", "recapitaliz"), ("regularis", "regulariz"),
+            ("reorganis", "reorganiz"), ("secularis", "seculariz"),
+            ("securitis", "securitiz"), ("sexualis", "sexualiz"),
+            ("solemnis", "solemniz"), ("tokenis", "tokeniz"),
+            ("universalis", "universaliz"), ("vectoris", "vectoriz"),
+            ("vulcanis", "vulcaniz"), ("vulgaris", "vulgariz"),
+            ("weaponis", "weaponiz"),
+        ]
+        for s in ("", "s")
+    }
+)
+SPELLING_GB_TO_US.update(
+    {
+        # -our derivatives beyond the base+s/ed/ing expansion
+        "favourable": "favorable", "favourably": "favorably",
+        "unfavourable": "unfavorable", "unfavourably": "unfavorably",
+        "honourably": "honorably", "dishonourable": "dishonorable",
+        "behaviourism": "behaviorism", "behaviourist": "behaviorist",
+        "behaviourists": "behaviorists",
+        "colouring": "coloring", "colourings": "colorings",
+        "colourfully": "colorfully", "colourless": "colorless",
+        "colouration": "coloration", "discolouration": "discoloration",
+        "discolourations": "discolorations",
+        "multicoloured": "multicolored", "watercolour": "watercolor",
+        "watercolours": "watercolors", "armoury": "armory",
+        "armouries": "armories", "armourer": "armorer",
+        "neighbourly": "neighborly", "humourless": "humorless",
+        # doubled-l long tail
+        "bejewelled": "bejeweled", "carolled": "caroled",
+        "carolling": "caroling", "cudgelled": "cudgeled",
+        "enamelled": "enameled", "enamelling": "enameling",
+        "gambolled": "gamboled", "gambolling": "gamboling",
+        "gravelled": "graveled", "imperilled": "imperiled",
+        "kennelled": "kenneled", "libelled": "libeled",
+        "libelling": "libeling", "libellous": "libelous",
+        "medallist": "medalist", "medallists": "medalists",
+        "metalled": "metaled", "panellist": "panelist",
+        "panellists": "panelists", "ravelled": "raveled",
+        "refuelled": "refueled", "refuelling": "refueling",
+        "remodelled": "remodeled", "remodelling": "remodeling",
+        "snivelled": "sniveled", "snivelling": "sniveling",
+        "squirrelled": "squirreled", "tasselled": "tasseled",
+        "teetotaller": "teetotaler", "teetotallers": "teetotalers",
+        "trialled": "trialed", "trialling": "trialing",
+        "tunneller": "tunneler", "tunnellers": "tunnelers",
+        "worshipped": "worshiped", "worshipping": "worshiping",
+        "worshipper": "worshiper", "worshippers": "worshipers",
+        "jeweller": "jeweler", "jewellers": "jewelers",
+        "snorkelled": "snorkeled", "duellist": "duelist",
+        "duellists": "duelists",
+        # -re long tail
+        "calibres": "calibers", "spectres": "specters",
+        "mitres": "miters", "centrepiece": "centerpiece",
+        "centrepieces": "centerpieces", "micrometre": "micrometer",
+        "micrometres": "micrometers", "nanometre": "nanometer",
+        "nanometres": "nanometers", "millilitre": "milliliter",
+        "millilitres": "milliliters", "saltpetre": "saltpeter",
+        "theatregoer": "theatergoer", "theatregoers": "theatergoers",
+        "manoeuvrability": "maneuverability",
+        "reconnoitred": "reconnoitered",
+        "reconnoitring": "reconnoitering",
+        # -ae/-oe long tail
+        "anaesthetise": "anesthetize", "anaesthetised": "anesthetized",
+        "anaesthetist": "anesthetist", "anaesthetists": "anesthetists",
+        "haemorrhoid": "hemorrhoid", "haemorrhoids": "hemorrhoids",
+        "haematoma": "hematoma", "haemophiliac": "hemophiliac",
+        "haemorrhaging": "hemorrhaging", "haemorrhaged": "hemorrhaged",
+        "anaemias": "anemias", "diarrhoeal": "diarrheal",
+        "gynaecological": "gynecological", "orthopaedist": "orthopedist",
+        "palaeontologist": "paleontologist",
+        "palaeontologists": "paleontologists",
+        "caesium": "cesium", "oestrogens": "estrogens",
+        "foetal": "fetal", "foetuses": "fetuses",
+        "oedematous": "edematous", "septicaemic": "septicemic",
+        # misc irregular long tail
+        "chequebook": "checkbook", "chequebooks": "checkbooks",
+        "chequered": "checkered", "draughtsman": "draftsman",
+        "draughtsmen": "draftsmen", "draughty": "drafty",
+        "gaols": "jails", "gaoler": "jailer", "gaolers": "jailers",
+        "mollusc": "mollusk", "molluscs": "mollusks",
+        "sceptics": "skeptics", "sceptically": "skeptically",
+        "scepticism": "skepticism", "woollens": "woolens",
+        "yoghurt": "yogurt", "yoghurts": "yogurts",
+        "kerbs": "curbs", "kerbside": "curbside",
+        "ploughman": "plowman", "ploughshare": "plowshare",
+        "ploughshares": "plowshares", "greyish": "grayish",
+        "greying": "graying", "greyed": "grayed",
+        "organisational": "organizational",
+        "organisationally": "organizationally",
+        "conceptualisation": "conceptualization",
+        "conceptualisations": "conceptualizations",
+        "generalisability": "generalizability",
+        "categorisation": "categorization",
+        "categorisations": "categorizations",
+        "characterisation": "characterization",
+        "characterisations": "characterizations",
+        "hospitalisations": "hospitalizations",
+        "criminalisation": "criminalization",
+        "decriminalisation": "decriminalization",
+        "commercialisation": "commercialization",
+        "industrialisations": "industrializations",
+        "internationalisation": "internationalization",
+        "marginalisations": "marginalizations",
+        "personalisation": "personalization",
+        "personalisations": "personalizations",
+        "popularisation": "popularization",
+        "revitalisation": "revitalization",
+        "stabilisation": "stabilization",
+        "destabilisation": "destabilization",
+        "sterilisations": "sterilizations",
+        "stigmatisation": "stigmatization",
+        "summarisation": "summarization",
+        "summarisations": "summarizations",
+        "synthesiser": "synthesizer", "synthesisers": "synthesizers",
+        "fertiliser": "fertilizer", "fertilisers": "fertilizers",
+        "moisturiser": "moisturizer", "moisturisers": "moisturizers",
+        "organiser": "organizer", "organisers": "organizers",
+        "equaliser": "equalizer", "equalisers": "equalizers",
+        "stabiliser": "stabilizer", "stabilisers": "stabilizers",
+        "sanitiser": "sanitizer", "sanitisers": "sanitizers",
+        "atomiser": "atomizer", "atomisers": "atomizers",
+        "appetiser": "appetizer", "appetisers": "appetizers",
+        "randomiser": "randomizer", "synchronisers": "synchronizers",
+        "visualiser": "visualizer", "visualisers": "visualizers",
+        "vaporiser": "vaporizer", "vaporisers": "vaporizers",
+        "tenderiser": "tenderizer", "tenderisers": "tenderizers",
+        "womaniser": "womanizer", "womanisers": "womanizers",
+        "organisable": "organizable",
+        "recognisable": "recognizable", "recognisably": "recognizably",
+        "unrecognisable": "unrecognizable",
+        "realisable": "realizable", "customisable": "customizable",
+        "localisable": "localizable", "quantisable": "quantizable",
+        "sizeably": "sizably", "omelette's": "omelet's",
+        "pernickety": "persnickety", "titbit": "tidbit",
+        "titbits": "tidbits", "aluminiums": "aluminums",
+    }
+)
 
 
 class EnglishSpellingNormalizer:

@@ -265,3 +265,50 @@ def test_spelling_golden():
     # US forms and unknown words are fixed points
     for _, us in SPELL_GOLDEN:
         assert sp(us) == us
+
+
+# round-5 table completion: vectors sampling every ADDED family
+# (remaining -ise stems, -yse class, -iser agent nouns, -isation nouns,
+# -our/-ll-/-re/-ae-oe/misc long tails) — one per sub-family plus the
+# fixed-point check, so a regression in the update blocks is caught at
+# the word level before the engine-level parity tests run.
+SPELL_GOLDEN_R5 = [
+    ("weaponise", "weaponize"), ("weaponised", "weaponized"),
+    ("hypothesising", "hypothesizing"), ("tokenises", "tokenizes"),
+    ("crystallised", "crystallized"), ("decolonisation", "decolonization"),
+    ("homogenisation", "homogenization"), ("quantisation", "quantization"),
+    ("reorganisations", "reorganizations"),
+    ("psychoanalysed", "psychoanalyzed"), ("hydrolysed", "hydrolyzed"),
+    ("breathalysed", "breathalyzed"), ("dialysing", "dialyzing"),
+    ("fertiliser", "fertilizer"), ("synthesisers", "synthesizers"),
+    ("moisturiser", "moisturizer"), ("appetisers", "appetizers"),
+    ("recognisable", "recognizable"), ("unrecognisable", "unrecognizable"),
+    ("favourably", "favorably"), ("watercolours", "watercolors"),
+    ("armoury", "armory"), ("colourless", "colorless"),
+    ("libellous", "libelous"), ("panellists", "panelists"),
+    ("worshipped", "worshiped"), ("teetotaller", "teetotaler"),
+    ("remodelling", "remodeling"), ("jeweller", "jeweler"),
+    ("centrepiece", "centerpiece"), ("nanometres", "nanometers"),
+    ("millilitres", "milliliters"), ("manoeuvrability", "maneuverability"),
+    ("anaesthetised", "anesthetized"), ("haemorrhoids", "hemorrhoids"),
+    ("foetal", "fetal"), ("caesium", "cesium"),
+    ("chequebook", "checkbook"), ("draughtsman", "draftsman"),
+    ("molluscs", "mollusks"), ("scepticism", "skepticism"),
+    ("yoghurt", "yogurt"), ("kerbside", "curbside"),
+    ("greyish", "grayish"), ("organisational", "organizational"),
+    ("characterisation", "characterization"),
+    ("destabilisation", "destabilization"), ("titbits", "tidbits"),
+    ("pernickety", "persnickety"),
+]
+
+
+def test_spelling_golden_round5_additions():
+    sp = EnglishSpellingNormalizer()
+    for gb, us in SPELL_GOLDEN_R5:
+        assert sp(gb) == us, f"{gb!r} -> {sp(gb)!r} != {us!r}"
+        assert sp(us) == us  # US forms are fixed points
+    # the advise/surprise/exercise class must stay untouched
+    for w in ("advise", "surprise", "exercise", "compromise", "franchise",
+              "advertise", "improvise", "supervise", "televise", "devise",
+              "revise", "despise", "disguise", "premise", "promise"):
+        assert sp(w) == w, w
