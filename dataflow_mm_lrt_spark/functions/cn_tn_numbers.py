@@ -179,6 +179,17 @@ _P_CARDINAL = re.compile(r"(\d+(\.\d+)?)")
 _P_LETTER2 = re.compile(r"(([a-zA-Z]+)二([a-zA-Z]+))")
 
 
+#: Characters outside the caller's other trigger tables (digits, PUNCS,
+#: fillers, fullwidth block) that any normalize_nsw pass can touch on
+#: RAW input: ％ (folded to % before the percent pass) and 二 (the
+#: letter-二-letter → letter-2-letter restore fires with no digit
+#: present). The zh prefilter (operators/refine.py text_norm_zh path)
+#: consumes this — keep it in sync with the passes above; the
+#: trigger-free-identity property test (tests/test_cn_tn.py) enforces
+#: the contract hypothesis-style.
+NSW_EXTRA_TRIGGER_CHARS = frozenset({"％", "二"})
+
+
 def normalize_nsw(raw_text: str) -> str:
     """Verbalize dates, money, phone numbers, fractions, percentages,
     quantified cardinals, long digit runs, and remaining cardinals —

@@ -114,9 +114,7 @@ def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": pdf["content"].map(
-                        lambda b: len(b) if b is not None else 0
-                    ),
+                    "n_bytes": pdf["content"].str.len().fillna(0).astype("int32"),
                     "feature": [f.tolist() for f in feats],
                 }
             )

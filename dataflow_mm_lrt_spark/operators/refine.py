@@ -307,7 +307,9 @@ def chinese_normalize_text(
     oracle/cn_tn_port.py for the scoped-out number verbalizer)."""
     from pyspark.sql.types import StringType
 
+    from ..functions.cn_tn_numbers import NSW_EXTRA_TRIGGER_CHARS
     from ..oracle.cn_tn_port import (
+        ERHUA_TRIGGER_CHAR,
         FILLER_CHARS,
         PUNCS,
         QJ2BJ_TRANSFORM,
@@ -317,20 +319,23 @@ def chinese_normalize_text(
     # trigger prefilter (VERDICT r3 item 3), mirroring the en path: a row
     # containing NONE of the characters any pass can touch is a byte
     # identity — vectorize those, run the per-row pipeline only on rows
-    # that can change. Built from the port's own tables so it cannot
-    # drift: fullwidth block (QJ2BJ), fillers, 儿 (erhua), CJK+ASCII
-    # punctuation (PUNCS; includes ^ and $, whose edge-strip quirk
-    # normalize_nsw inherits from the public cn_tn), digits (every NSW
-    # category), and 二 (the letter-二-letter → letter-2-letter restore
-    # fires on raw input too). Superset-safe: a trigger char only sends
-    # the row to the slow path.
+    # that can change. Built ENTIRELY from the ports' own exported
+    # tables so it cannot drift: fullwidth block (QJ2BJ), fillers,
+    # ERHUA_TRIGGER_CHAR, CJK+ASCII punctuation (PUNCS; includes ^ and
+    # $, whose edge-strip quirk normalize_nsw inherits from the public
+    # cn_tn), digits (every NSW category), and NSW_EXTRA_TRIGGER_CHARS
+    # (％ fold, letter-二-letter restore — declared next to the passes
+    # that consume them). Superset-safe: a trigger char only sends the
+    # row to the slow path; the trigger-free-identity property test in
+    # tests/test_cn_tn.py enforces completeness.
     import re as _re
     import string as _string
 
     trigger_chars = (
         set(PUNCS)
         | set(FILLER_CHARS)
-        | {"儿", "二", "％"}
+        | {ERHUA_TRIGGER_CHAR}
+        | set(NSW_EXTRA_TRIGGER_CHARS)
         | {chr(c) for c in QJ2BJ_TRANSFORM}
         | set(_string.digits)
     )

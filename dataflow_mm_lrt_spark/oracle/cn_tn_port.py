@@ -45,6 +45,12 @@ PUNCS = CN_PUNCS_STOP + CN_PUNCS_NONSTOP + string.punctuation
 PUNCS_TRANSFORM = str.maketrans(PUNCS, " " * len(PUNCS), "")
 
 
+#: the only character the erhua pass can touch — exported so the zh
+#: prefilter (operators/refine.py) derives its trigger set from the
+#: port's own tables instead of hard-coding it
+ERHUA_TRIGGER_CHAR = "儿"
+
+
 def remove_erhua(text: str) -> str:
     """cn_tn.py:1020-1044, loop-for-loop: drop 儿 unless the next
     whitelist hit starts at or before it."""

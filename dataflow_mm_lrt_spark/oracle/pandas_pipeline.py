@@ -91,17 +91,24 @@ def microbatch_reference(
         if ready:
             ready.sort(key=lambda r: (r[0], r[1]))
             s = seen.setdefault(conv_id, {})
+            # mirror the engine's flush order exactly (stateful.py:
+            # keep = pre-flush seen ∪ intra-flush duplicated, insert all
+            # emitted fps, THEN evict once after the flush) — per-row
+            # eviction mid-flush would re-admit a repeat whenever a
+            # single flush holds > MAX_SEEN_FPS distinct fingerprints
+            flushed: dict[str, None] = {}
             for r in ready:
                 fp = _fp(r[3])
-                if fp in s:
+                if fp in s or fp in flushed:
                     continue
-                s[fp] = None
-                while len(s) > MAX_SEEN_FPS:
-                    del s[next(iter(s))]
+                flushed[fp] = None
                 emitted_rows.append(
                     (conv_id, r[0], r[2], r[3], r[4], r[1], emit_seq.get(conv_id, 0))
                 )
                 emit_seq[conv_id] = emit_seq.get(conv_id, 0) + 1
+            s.update(flushed)
+            while len(s) > MAX_SEEN_FPS:
+                del s[next(iter(s))]
         # same timeout rule as streaming/stateful.py
         if remaining:
             nxt = min(r[1] for r in remaining) // 1000 + order_slack_ms

