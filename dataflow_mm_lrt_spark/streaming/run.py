@@ -46,6 +46,11 @@ class PipelineConfig:
     #: default one-manifest-per-epoch layout (cheapest per-epoch commit;
     #: long-running services should set ~256)
     manifest_compact_every: int = 0
+    #: record per-micro-batch progress (rates, durations, state size,
+    #: watermark) to <out_dir>/metrics.jsonl via a driver-side
+    #: StreamingQueryListener (streaming/metrics.py) — off the batch
+    #: critical path, restart-safe append trail
+    record_metrics: bool = True
 
 
 def clean_stages(turns: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -87,13 +92,25 @@ def run_pipeline(
         os.path.join(out_dir, "sink"),
         compact_every=cfg.manifest_compact_every,
     )
-    query = (
-        out.writeStream.outputMode("append")
-        .foreachBatch(sink.foreach_batch())
-        .option("checkpointLocation", os.path.join(out_dir, "checkpoint"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if await_termination:
-        query.awaitTermination()
+    recorder = None
+    if cfg.record_metrics:
+        from .metrics import ProgressRecorder
+
+        recorder = ProgressRecorder.attach(
+            spark, os.path.join(out_dir, "metrics")
+        )
+    try:
+        query = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(sink.foreach_batch())
+            .option("checkpointLocation", os.path.join(out_dir, "checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if await_termination:
+            query.awaitTermination()
+    finally:
+        if recorder is not None and await_termination:
+            recorder.wait_terminated()  # listener bus drains async
+            recorder.detach()
     return sink, query
