@@ -299,12 +299,16 @@ def chinese_normalize_text(
     remove_fillers: bool = True,
     remove_erhua: bool = True,
     remove_space: bool = False,
+    cc_mode: str = "",
 ) -> DataFrame:
     """TextNormalizer's ``language="zh"`` path (audio_text_normalizer.py:
     32-41 → cn_tn.TextNorm): rule-driven subset via the tested port
     inside an Arrow-batched pandas UDF (the erhua whitelist scan is a
     sequential string loop — not expressible as SQL; see
-    oracle/cn_tn_port.py for the scoped-out number verbalizer)."""
+    oracle/cn_tn_port.py for the scoped-out number verbalizer).
+    ``cc_mode='t2s'`` enables the curated traditional→simplified char
+    conversion first, like the reference's OpenCC hook
+    (cn_tn.py:1078-1084; functions/cc_t2s.py for scope)."""
     from pyspark.sql.types import StringType
 
     from ..functions.cn_tn_numbers import NSW_EXTRA_TRIGGER_CHARS
@@ -341,6 +345,10 @@ def chinese_normalize_text(
     )
     if remove_space:
         trigger_chars |= set(_string.whitespace)
+    if cc_mode:
+        from ..functions.cc_t2s import T2S_TRIGGER_CHARS
+
+        trigger_chars |= set(T2S_TRIGGER_CHARS)
     trigger_re = "[" + "".join(map(_re.escape, sorted(trigger_chars))) + "]"
 
     @F.pandas_udf(StringType())
@@ -355,6 +363,7 @@ def chinese_normalize_text(
                 remove_fillers=remove_fillers,
                 do_remove_erhua=remove_erhua,
                 do_remove_space=remove_space,
+                cc_mode=cc_mode,
             )
         )
         return out

@@ -93,10 +93,24 @@ def text_norm_zh(
     remove_fillers: bool = False,
     do_remove_erhua: bool = False,
     do_remove_space: bool = False,
+    cc_mode: str = "",
 ) -> str:
-    """TextNorm.__call__ (cn_tn.py:1082-1116) minus normalize_nsw /
-    cc / check_chars (module docstring)."""
+    """TextNorm.__call__ (cn_tn.py:1082-1116) minus check_chars
+    (module docstring). ``cc_mode='t2s'`` applies the curated
+    traditional→simplified char table FIRST, matching the reference's
+    OpenCC placement (cn_tn.py:1083-1084); ``'s2t'`` is gated — the
+    simplified→traditional direction is one→many at char level and
+    cannot be done faithfully without OpenCC's phrase data."""
     text = text or ""
+    if cc_mode == "t2s":
+        from ..functions.cc_t2s import t2s
+
+        text = t2s(text)
+    elif cc_mode:
+        raise NotImplementedError(
+            f"cc_mode={cc_mode!r}: only 't2s' is supported without the "
+            "OpenCC package (s2t is one-to-many at char granularity)"
+        )
     if to_banjiao:
         text = text.translate(QJ2BJ_TRANSFORM)
     if to_upper:

@@ -216,3 +216,64 @@ def test_trigger_free_strings_are_identity():
         )
 
     check()
+
+
+def test_t2s_conversion_and_pipeline_placement():
+    """cc_mode='t2s' (cn_tn.py:1078-1084 OpenCC hook, curated char
+    table in functions/cc_t2s.py): conversion applies FIRST, so a
+    traditional char that becomes a filler/erhua/number target is then
+    processed by the later passes exactly like native simplified
+    input."""
+    from dataflow_mm_lrt_spark.functions.cc_t2s import T2S_MAP, t2s
+
+    assert t2s("這個學生說漢語") == "这个学生说汉语"
+    assert t2s("火車站在廣場東邊") == "火车站在广场东边"
+    assert t2s("電腦網絡與圖書館") == "电脑网络与图书馆"
+    assert t2s("already simplified 已经简化") == "already simplified 已经简化"
+    # simplified text is a fixed point of the whole table
+    simplified = "".join(T2S_MAP.values())
+    assert t2s(simplified) == simplified
+    # pipeline: conversion first, then fillers/erhua/puncs as usual
+    assert (
+        text_norm_zh(
+            "呃這邊兒有幾個問題！",
+            to_banjiao=True,
+            remove_fillers=True,
+            do_remove_erhua=True,
+            cc_mode="t2s",
+        )
+        == "这边有几个问题 "
+    )
+    # s2t is honestly gated, not silently wrong
+    with pytest.raises(NotImplementedError):
+        text_norm_zh("abc", cc_mode="s2t")
+
+
+def test_t2s_engine_matches_port(spark):
+    from dataflow_mm_lrt_spark.operators.refine import chinese_normalize_text
+
+    texts = [
+        "這個學生在臺北買了兩本書",
+        "呃那邊兒的火車站很遠啊",
+        "ＡＢＣ１２３：他說了５６７個詞",
+        "plain english stays put",
+        "已经是简体的一句话",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = chinese_normalize_text(
+        spark.createDataFrame(pdf),
+        to_banjiao=True,
+        remove_fillers=True,
+        remove_erhua=True,
+        cc_mode="t2s",
+    )
+    got = {r["doc_id"]: r["text_norm"] for r in out.collect()}
+    for i, t in enumerate(texts):
+        exp = text_norm_zh(
+            t,
+            to_banjiao=True,
+            remove_fillers=True,
+            do_remove_erhua=True,
+            cc_mode="t2s",
+        )
+        assert got[i] == exp, f"{t!r}: {got[i]!r} != {exp!r}"
