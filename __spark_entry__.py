@@ -34,8 +34,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every query except ``normalize_en_full``
-    (its spelled-number FST is a per-word state machine SQL cannot
-    express — rows-only by design; value-level parity for it lives in
-    tests/test_whisper_en.py against the Python twin)."""
+    """DuckDB-equivalent SQL for EVERY query (50/50). The one
+    non-SQL-computable entry, ``normalize_en_full`` (per-word FST),
+    uses a LOOKUP oracle: a committed golden parquet keyed by
+    md5(derived input), generated once from the Python twin that the
+    non-circular golden suite validates (tools/gen_en_full_golden.py)."""
     return dict(contract.ORACLES)
