@@ -162,6 +162,8 @@ T2S_PAIRS = (
     "沖冲 郵邮 鎮镇 銷销 軟软 輛辆 遊游 霧雾 齡龄 儘尽 冊册 髒脏 "
     "驟骤 鴻鸿 魯鲁 鵬鹏 龐庞 頸颈 頗颇 遙遥 錫锡 閣阁 醬酱 韻韵 "
     "湊凑 兌兑 顛颠 "
+    "礙碍 惡恶 癒愈 驢驴 蘆芦 廬庐 蝕蚀 蝸蜗 蟬蝉 釣钓 銜衔 鋤锄 "
+    "閥阀 閘闸 頒颁 頃顷 飼饲 駁驳 骯肮 鬢鬓 鱗鳞 鴿鸽 黴霉 闆板 "
 )
 
 T2S_MAP: dict[int, str] = {}

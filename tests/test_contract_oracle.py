@@ -92,3 +92,17 @@ def test_driver_contract_stays_within_50_rows():
     assert set(ORACLES) <= set(QUERIES)
     assert set(EXTRA_ORACLES) <= set(EXTRA_QUERIES)
     assert not (set(EXTRA_QUERIES) & set(QUERIES))
+
+
+def test_bench_headline_names_are_contract_entries():
+    """bench.py indexes contract.QUERIES by name — a rename that forgets
+    the HEADLINE list would crash the driver's per-round bench run."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    missing = [n for n in mod.HEADLINE if n not in QUERIES]
+    assert not missing, missing
