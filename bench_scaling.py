@@ -157,6 +157,16 @@ def child(cpus: int, sf: float) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # ---- timed batch leg: clean stages + salted windowed counts ---------
+    # The stream leg just put ~5 min of full 32-core load on the package;
+    # without an idle the 32-core batch window starts hot and reads up to
+    # 1.6× slow (round-5 driver run: 159 s hot vs 101 s fair start on
+    # identical code, batch efficiency 0.60 vs 1.14). Same fair-start
+    # rule as the stream leg: every thermally sensitive 32-core timed
+    # window begins on a cooled package. The 8-core leg skips the idle —
+    # it is measured thermally invariant (round-4 sweep, 7 runs).
+    cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "240"))
+    if cooldown and cpus == 32:
+        time.sleep(cooldown)
     t0 = time.time()
     clean_stages(df, cfg).write.format("noop").mode("overwrite").save()
     salted_turn_counts(df, streaming=False).write.format("noop").mode(
@@ -278,8 +288,11 @@ and excluded from the timed window); shuffle partitions = 2×cores.
 
 Fair-start protocol (bench_scaling.py defaults, round 5): legs run in
 descending order ({legs[0]} then {legs[1]} cores) with a {cooldown} s
-idle before the 32-core leg, warm-ups touch only a 2-of-{N_FILES}-file
-subset, and the streaming leg is timed before the batch leg. Rationale:
+idle before EACH 32-core timed window (once before the stream leg, and
+again between the stream drain and the batch leg, so the batch window
+does not start on a package heated by the stream drain), warm-ups touch
+only a 2-of-{N_FILES}-file subset, and the streaming leg is timed before
+the batch leg. Rationale:
 this box thermally drifts — across 7 round-4 runs the 8-core leg was
 invariant (20.2–21.8k turns/s at any starting temperature) while the
 32-core leg swung 52–82k turns/s purely with package temperature. A
