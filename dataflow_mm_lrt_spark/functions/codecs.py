@@ -95,6 +95,25 @@ def iter_ppm_frames(buf: bytes) -> Iterator[np.ndarray]:
         yield img
 
 
+def iter_video_frames(buf: bytes) -> Iterator[np.ndarray]:
+    """Format-sniffing multi-frame decode: animated GIF (a real public
+    container, functions/gif.py) or a concatenated-P6 raw stream.
+    Anything else raises ``CodecUnavailable`` (PyAV/decord upgrade
+    path, absent here)."""
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import iter_gif_frames
+
+        try:
+            for frame, _delay in iter_gif_frames(buf):
+                yield frame
+            return
+        except CodecUnavailable:
+            raise
+        except Exception as exc:
+            raise CodecUnavailable(f"corrupt GIF video: {exc}") from exc
+    yield from iter_ppm_frames(buf)
+
+
 # ---------------------------------------------------------------------------
 # BMP (BITMAPINFOHEADER, uncompressed 24/32bpp)
 # ---------------------------------------------------------------------------
@@ -181,6 +200,10 @@ def sniff(buf: bytes) -> str:
         return "bmp"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         return "wav"
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
@@ -204,12 +227,33 @@ def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """(H, W, 3) uint8 from PPM/BMP; PIL upgrade path for the rest."""
+    """(H, W, 3) uint8 from PPM/BMP/PNG/GIF; PIL upgrade path for the
+    rest (JPEG etc.)."""
     kind = sniff(buf)
     if kind == "ppm":
         return decode_ppm(buf)[0]
     if kind == "bmp":
         return decode_bmp(buf)
+    if kind == "png":
+        from .png import decode_png
+
+        try:
+            return decode_png(buf)
+        except CodecUnavailable:
+            raise
+        except Exception as exc:
+            # Corrupt bytes behind a valid magic: surface the single
+            # catchable type the pipeline gates on, not decoder internals.
+            raise CodecUnavailable(f"corrupt PNG: {exc}") from exc
+    if kind == "gif":
+        from .gif import decode_gif_first_frame
+
+        try:
+            return decode_gif_first_frame(buf)
+        except CodecUnavailable:
+            raise
+        except Exception as exc:
+            raise CodecUnavailable(f"corrupt GIF: {exc}") from exc
     try:  # optional-library upgrade (absent in this container)
         import io
 

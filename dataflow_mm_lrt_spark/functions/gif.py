@@ -1,0 +1,283 @@
+"""Pure-stdlib GIF codec (hand-rolled LZW + numpy) — no PIL required.
+
+GIF's only compression is the LZW variant defined in the public GIF89a
+specification, so like PNG (functions/png.py) a complete decoder needs
+no native library. This also gives the video-shaped operators a REAL
+compressed multi-frame container: ``iter_gif_frames`` walks an animated
+GIF with proper canvas compositing (left/top offsets, transparency,
+disposal methods), the same role ``iter_ppm_frames`` plays for the
+uncompressed raw-video format.
+
+Decoder coverage: 87a/89a, global + local color tables, interlaced
+images, transparency, disposal methods 0-3, multi-frame animation.
+Encoder: ≤256-color RGB frames (exact palette, no quantization), with
+real LZW compression including mid-stream dictionary resets.
+
+Validation (tests/test_gif.py) follows the inverse-pair pattern: the
+LZW decoder is exercised against an independently hand-assembled
+bitstream vector from the spec, plus encoder/decoder round-trips and
+hypothesis property tests.
+
+Reference parity: the reference samples video frames via decord
+(utils/utils.py: VideoReader); here ``iter_gif_frames`` +
+``operators/multimodal.py`` frame-sample meet the same contract.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+
+from .codecs import CodecUnavailable
+
+
+# ---------------------------------------------------------------------------
+# LZW (GIF variant: variable code width, clear/end codes, 12-bit cap)
+# ---------------------------------------------------------------------------
+
+def lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Decode a GIF LZW stream (sub-blocks already concatenated)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """Encode bytes as a GIF LZW stream (clear at start, reset on full
+    table, end code last)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    code_size = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, code_size)
+    buf = b""
+    for byte in data:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], code_size)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code > 0xFFF:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# container walk
+# ---------------------------------------------------------------------------
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
+    chunks = bytearray()
+    while True:
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            return bytes(chunks), pos
+        chunks += buf[pos : pos + n]
+        pos += n
+
+
+def iter_gif_frames(buf: bytes) -> Iterator[tuple[np.ndarray, int]]:
+    """Yield ``(rgb_frame, delay_cs)`` per animation frame with full
+    canvas compositing. ``rgb_frame`` is the (H, W, 3) uint8 canvas
+    after the frame is painted (what a viewer shows)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecUnavailable("not a GIF")
+    width, height, packed, bg_idx, _ = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    if gct is not None and bg_idx < len(gct):
+        canvas = np.tile(gct[bg_idx], (height, width, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((height, width, 3), dtype=np.uint8)
+
+    transparent: int | None = None
+    disposal = 0
+    delay = 0
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            return
+        if block == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            data, pos = _subblocks(buf, pos)
+            if label == 0xF9 and len(data) >= 4:
+                flags, delay, tidx = struct.unpack("<BHB", data[:4])
+                disposal = (flags >> 2) & 0x7
+                transparent = tidx if flags & 0x1 else None
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", buf[pos : pos + 9])
+        pos += 9
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                buf[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        min_code = buf[pos]
+        pos += 1
+        data, pos = _subblocks(buf, pos)
+        idx = np.frombuffer(lzw_decode(data, min_code), dtype=np.uint8)
+        if idx.size < w * h:
+            raise ValueError("truncated GIF frame")
+        idx = idx[: w * h].reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive pass-by-pass
+            deinter = np.zeros_like(idx)
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                n_rows = len(range(start, h, step))
+                deinter[start::step] = idx[src : src + n_rows]
+                src += n_rows
+            idx = deinter
+
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        painted = table[np.minimum(idx, len(table) - 1)]
+        if transparent is not None:
+            mask = (idx != transparent)[..., None]
+            region[:] = np.where(mask, painted, region)
+        else:
+            region[:] = painted
+        yield canvas.copy(), delay
+        if disposal == 2:  # restore to background
+            bg = (
+                gct[bg_idx]
+                if gct is not None and bg_idx < len(gct)
+                else np.zeros(3, dtype=np.uint8)
+            )
+            canvas[top : top + h, left : left + w] = bg
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        transparent = None
+        disposal = 0
+        delay = 0
+
+
+def decode_gif_first_frame(buf: bytes) -> np.ndarray:
+    for frame, _ in iter_gif_frames(buf):
+        return frame
+    raise ValueError("GIF contains no image")
+
+
+# ---------------------------------------------------------------------------
+# encoder (exact-palette, ≤256 colors)
+# ---------------------------------------------------------------------------
+
+def encode_gif(
+    frames: list[np.ndarray] | np.ndarray,
+    delay_cs: int = 4,
+) -> bytes:
+    """Encode one or more (H, W, 3) uint8 frames that together use at
+    most 256 distinct colors. No quantization — this is a test/sink
+    codec, not an image-quality tool."""
+    if isinstance(frames, np.ndarray) and frames.ndim == 3:
+        frames = [frames]
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
+    palette, inverse = np.unique(stacked, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"{len(palette)} colors exceed GIF's 256")
+    # color-table size must be a power of two ≥ 2
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x7), 0, 0)
+    out += table.tobytes()
+    if len(frames) > 1:
+        # Netscape looping extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    offset = 0
+    min_code = max(2, bits)
+    for f in frames:
+        n = f.shape[0] * f.shape[1]
+        idx = inverse[offset : offset + n].astype(np.uint8)
+        offset += n
+        if len(frames) > 1:
+            out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([min_code])
+        payload = lzw_encode(idx.tobytes(), min_code)
+        for i in range(0, len(payload), 255):
+            chunk = payload[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -85,7 +85,7 @@ def _decode(content: bytes, kind: str, fake: bool) -> np.ndarray:
             dtype=np.float32,
         )
     if kind == "video":
-        frames = list(codecs.iter_ppm_frames(buf))
+        frames = list(codecs.iter_video_frames(buf))
         if not frames:
             raise codecs.CodecUnavailable("empty raw-video stream")
         stack = np.stack([f.astype(np.float64) for f in frames])
@@ -201,8 +201,9 @@ def sample_frames(
                         idxs.append(i)
                         contents.append(digest)
                 elif kind == "video":
-                    # real path: evenly sample the concatenated-P6 stream
-                    frames = list(codecs.iter_ppm_frames(c or b""))
+                    # real path: evenly sample the container's frames
+                    # (animated GIF or concatenated-P6 stream)
+                    frames = list(codecs.iter_video_frames(c or b""))
                     if not frames:
                         raise codecs.CodecUnavailable("empty raw-video stream")
                     picks = sorted(
