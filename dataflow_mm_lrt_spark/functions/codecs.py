@@ -204,6 +204,8 @@ def sniff(buf: bytes) -> str:
         return "png"
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if buf[:2] == b"\xff\xd8":
+        return "jpeg"
     return "unknown"
 
 
@@ -227,8 +229,8 @@ def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """(H, W, 3) uint8 from PPM/BMP/PNG/GIF; PIL upgrade path for the
-    rest (JPEG etc.)."""
+    """(H, W, 3) uint8 from PPM/BMP/PNG/GIF/baseline-JPEG; PIL upgrade
+    path for the rest (progressive JPEG, WebP, TIFF...)."""
     kind = sniff(buf)
     if kind == "ppm":
         return decode_ppm(buf)[0]
@@ -254,6 +256,15 @@ def decode_image(buf: bytes) -> np.ndarray:
             raise
         except Exception as exc:
             raise CodecUnavailable(f"corrupt GIF: {exc}") from exc
+    if kind == "jpeg":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(buf)
+        except CodecUnavailable:
+            raise
+        except Exception as exc:
+            raise CodecUnavailable(f"corrupt JPEG: {exc}") from exc
     try:  # optional-library upgrade (absent in this container)
         import io
 
