@@ -459,6 +459,197 @@ def embedding_cosine_near_dup(
     )
 
 
+def with_phash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual-hash stage: decode each row's image bytes with the
+    pure-numpy codecs and emit its 64-bit pHash (functions/phash.py).
+    Arrow-batched ``mapInPandas`` — decode dominates, parallelism comes
+    from input splits, no shuffle. Undecodable bytes yield a NULL hash
+    and ``decode_failed = true`` (the reference treats those rows as
+    not-kept, image_diversity_filter.py:44-53)."""
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType
+
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("phash", LongType()),
+            StructField("decode_failed", BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        from ..functions import codecs
+        from ..functions.phash import phash64
+
+        for pdf in batches:
+            hashes, failed = [], []
+            for c in pdf[content_col]:
+                try:
+                    hashes.append(phash64(codecs.decode_image(bytes(c or b"")), hash_size))
+                    failed.append(False)
+                except codecs.CodecUnavailable:
+                    hashes.append(None)
+                    failed.append(True)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "phash": pd.array(hashes, dtype="Int64"),
+                 "decode_failed": failed}
+            )
+
+    return _spread(df.select(id_col, content_col)).mapInPandas(run, schema=schema)
+
+
+def phash_near_dup(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    hamming_threshold: int = 5,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Image near-dup marking by perceptual-hash Hamming distance — the
+    ImageDuplicateFilter semantics (image_diversity_filter.py:37-62:
+    ``imagehash.phash`` 64-bit, distance ≤ 5 → duplicate, keep first).
+
+    Documented generalization, same as every dedup here: the reference
+    is sequential and corpus-gated (a dropped duplicate never re-enters
+    the comparison corpus, which is capped at the trailing 10 000); the
+    distributed form compares all pairs within the Hamming radius and
+    marks the later id of each matching pair — deterministic under any
+    partitioning, order defined by ``id_col``.
+
+    Candidate generation is exact pigeonhole bucketing: the 64-bit hash
+    splits into ``hamming_threshold + 1`` chunks; two hashes within the
+    threshold must agree on at least one chunk, so the candidate space
+    is a chunk-value equi-join (the SimHash layout above), never an
+    all-pairs product. Verification = xor + bit_count. ``min_hamming``
+    is reported for duplicate rows only (the exact min over ALL rows
+    would need the all-pairs scan the bucketing exists to avoid; the
+    reference records it as a debug value, not a semantic one). Output:
+    (id_col, is_dup, min_hamming, decode_failed)."""
+    hashed = scoped_persist(with_phash(df, content_col, id_col, hash_size))
+    marks = hamming_mark_dups(
+        hashed.filter(~F.col("decode_failed")), id_col, hamming_threshold
+    )
+    return (
+        hashed.select(id_col, "decode_failed")
+        .join(marks, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            "min_hamming",
+            "decode_failed",
+        )
+    )
+
+
+def hamming_mark_dups(
+    base: DataFrame, id_col: str, hamming_threshold: int
+) -> DataFrame:
+    """Mark the later id of every pair of 64-bit ``phash`` values within
+    ``hamming_threshold`` bits (exact: pigeonhole chunk buckets →
+    equi-join candidates → xor+bit_count verify). Output: (id_col,
+    is_dup=true, min_hamming) for duplicate ids only."""
+    n_chunks = hamming_threshold + 1
+    width = 64 // n_chunks
+    extra = 64 - width * n_chunks  # first `extra` chunks get one more bit
+    chunks, off = [], 0
+    for i in range(n_chunks):
+        w = width + (1 if i < extra else 0)
+        chunks.append(
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.expr(
+                    f"shiftrightunsigned(phash, {off}) & {(1 << w) - 1}"
+                ).alias("chunk_val"),
+            )
+        )
+        off += w
+    banded = base.select(id_col, "phash", F.explode(F.array(*chunks)).alias("c")).select(
+        id_col, "phash", "c.chunk_idx", "c.chunk_val"
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk_idx") == F.col("r.chunk_idx"),
+                F.col("l.chunk_val") == F.col("r.chunk_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.expr("bit_count(l.phash ^ r.phash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_threshold)
+    )
+    return (
+        pairs.groupBy("id_b")
+        .agg(F.min("hamming").alias("min_hamming"))
+        .withColumn("is_dup", F.lit(True))
+        .withColumnRenamed("id_b", id_col)
+    )
+
+
+def image_diversity_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    content_col: str = "content",
+    id_col: str = "media_id",
+    text_threshold: float = 0.8,
+    hamming_threshold: int = 5,
+    hash_size: int = 8,
+) -> DataFrame:
+    """ImageDiversityFilter (image_diversity_filter.py:65-120): a row is
+    kept iff it is BOTH text-novel (TF-IDF cosine < ``text_threshold``
+    vs earlier rows) AND image-novel (pHash Hamming > ``hamming_threshold``
+    vs earlier rows). Rows whose image bytes fail to decode, or whose
+    text is shorter than 3 chars, are not kept (the reference's
+    check_distance/check_similarity early-False returns). Output:
+    (id_col, keep, text_max_cosine, img_min_hamming, decode_failed) —
+    marks, not drops, per this engine's convention; callers filter on
+    ``keep``."""
+    text_marks = tfidf_cosine_near_dup(
+        df, text_col=text_col, id_col=id_col, threshold=text_threshold
+    ).select(
+        id_col,
+        F.col("is_dup").alias("_text_dup"),
+        F.col("max_cosine").alias("text_max_cosine"),
+        "too_short",
+    )
+    img_marks = phash_near_dup(
+        df, content_col=content_col, id_col=id_col,
+        hamming_threshold=hamming_threshold, hash_size=hash_size,
+    ).select(
+        id_col,
+        F.col("is_dup").alias("_img_dup"),
+        F.col("min_hamming").alias("img_min_hamming"),
+        "decode_failed",
+    )
+    return (
+        text_marks.join(img_marks, on=id_col)
+        .select(
+            id_col,
+            (
+                ~F.col("_text_dup")
+                & ~F.col("too_short")
+                & ~F.col("_img_dup")
+                & ~F.col("decode_failed")
+            ).alias("keep"),
+            "text_max_cosine",
+            "img_min_hamming",
+            "decode_failed",
+        )
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str = "text",

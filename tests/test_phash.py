@@ -1,0 +1,167 @@
+"""Perceptual-hash dedup (the ImageDuplicateFilter / ImageDiversityFilter
+semantics) over real codec bytes.
+
+Verification strategy: the distributed operator (pigeonhole chunk
+bucketing + equi-join + xor/popcount) is checked against an independent
+all-pairs numpy popcount oracle written inline here — including
+adversarial bit patterns spread across chunk boundaries — and the hash
+function itself against properties that hold by construction (identity,
+structural sensitivity), not against the operator's own math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dataflow_mm_lrt_spark.functions import codecs
+from dataflow_mm_lrt_spark.functions.phash import hamming64, phash64
+from dataflow_mm_lrt_spark.operators import dedup
+
+
+def _img(seed: int, h: int = 64, w: int = 64) -> np.ndarray:
+    """Structured deterministic image: smooth gradients + blocks, so the
+    32x32 downscale keeps real low-frequency content (pure noise would
+    flatten out and make the DCT bits degenerate)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    a, b, c = rng.uniform(0.02, 0.2, 3)
+    base = (
+        128
+        + 100 * np.sin(a * xx + rng.uniform(0, 6)) * np.cos(b * yy + rng.uniform(0, 6))
+        + 60 * np.sign(np.sin(c * (xx + yy)))
+    )
+    img = np.clip(base, 0, 255).astype(np.uint8)
+    return np.stack([img, img, img], axis=-1)
+
+
+# ---------------------------------------------------------------- hash
+
+
+def test_phash_identical_images_distance_zero():
+    a, b = _img(1), _img(1).copy()
+    assert hamming64(phash64(a), phash64(b)) == 0
+
+
+def test_phash_distinct_structures_far_apart():
+    hashes = [phash64(_img(s)) for s in range(8)]
+    dists = [
+        hamming64(hashes[i], hashes[j])
+        for i in range(8)
+        for j in range(i + 1, 8)
+    ]
+    # 64-bit hashes of unrelated structured images: expected ~32, never ≤5
+    assert min(dists) > 5
+
+
+def test_phash_small_perturbation_small_distance():
+    a = _img(3)
+    noisy = a.astype(np.int16) + np.random.default_rng(0).integers(
+        -4, 5, a.shape
+    )
+    b = np.clip(noisy, 0, 255).astype(np.uint8)
+    assert hamming64(phash64(a), phash64(b)) <= 5
+
+
+def test_phash_median_split_is_balanced():
+    # by construction exactly half the 8x8 block exceeds its median
+    h = phash64(_img(7)) & ((1 << 64) - 1)
+    assert bin(h).count("1") == 32
+
+
+def test_phash_matches_imagehash_package_if_present():
+    imagehash = pytest.importorskip("imagehash")
+    from PIL import Image
+
+    a = _img(5)
+    ours = phash64(a) & ((1 << 64) - 1)
+    theirs = int(str(imagehash.phash(Image.fromarray(a))), 16)
+    # resample kernels differ (bilinear vs Lanczos): allow a small drift
+    assert bin(ours ^ theirs).count("1") <= 10
+
+
+# ------------------------------------------------- distributed marking
+
+
+def _pairwise_oracle(ids, hashes, threshold):
+    """Independent all-pairs keep-first marking: later id of any pair
+    within the Hamming radius is a duplicate."""
+    dup = {}
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                d = bin((hashes[i] ^ hashes[j]) & ((1 << 64) - 1)).count("1")
+                if d <= threshold:
+                    dup[ids[j]] = min(d, dup.get(ids[j], 64))
+    return dup
+
+
+def test_hamming_mark_dups_matches_allpairs_oracle(spark):
+    rng = np.random.default_rng(42)
+    base = int(rng.integers(0, 2**63))
+    hashes = [base]
+    # craft neighbors at exact distances 1..8, including bits spread
+    # maximally across the 6 pigeonhole chunks (widths 11,11,11,11,10,10)
+    chunk_starts = [0, 11, 22, 33, 44, 54]
+    for d in range(1, 9):
+        h = base
+        for k in range(d):
+            h ^= 1 << (chunk_starts[k % 6] + (k * 3) % 10)
+        hashes.append(h)
+    # plus unrelated randoms
+    hashes += [int(x) for x in rng.integers(0, 2**63, 6)]
+    ids = list(range(len(hashes)))
+    signed = [h - (1 << 64) if h >= 1 << 63 else h for h in hashes]
+    df = spark.createDataFrame(
+        list(zip(ids, signed)), "media_id int, phash long"
+    )
+    got = {
+        r["media_id"]: r["min_hamming"]
+        for r in dedup.hamming_mark_dups(df, "media_id", 5).collect()
+    }
+    assert got == _pairwise_oracle(ids, hashes, 5)
+
+
+def test_phash_near_dup_end_to_end(spark):
+    imgs = {
+        0: _img(10),
+        1: _img(11),
+        2: _img(10),  # exact dup of 0
+        3: _img(12),
+    }
+    rows = [
+        (i, bytearray(codecs.encode_ppm(img))) for i, img in imgs.items()
+    ] + [(4, bytearray(b"not an image at all"))]
+    df = spark.createDataFrame(rows, "media_id int, content binary")
+    out = {r["media_id"]: r for r in dedup.phash_near_dup(df).collect()}
+    assert len(out) == 5
+    assert out[2]["is_dup"] and out[2]["min_hamming"] == 0
+    assert not out[0]["is_dup"] and not out[1]["is_dup"] and not out[3]["is_dup"]
+    assert out[4]["decode_failed"] and not out[4]["is_dup"]
+    assert not out[0]["decode_failed"]
+
+
+def test_image_diversity_filter_and_semantics(spark):
+    text_a = "the quick brown fox jumps over the lazy dog " * 3
+    text_b = "completely different words about spark streaming engines"
+    rows = [
+        (0, text_a, bytearray(codecs.encode_ppm(_img(20)))),
+        # text dup of 0, novel image → dropped
+        (1, text_a, bytearray(codecs.encode_ppm(_img(21)))),
+        # novel text, image dup of 0 → dropped
+        (2, text_b, bytearray(codecs.encode_ppm(_img(20)))),
+        # novel both → kept
+        (3, "alpha beta gamma delta epsilon zeta eta theta", bytearray(codecs.encode_ppm(_img(22)))),
+        # undecodable image → dropped
+        (4, "some novel text of reasonable length here", bytearray(b"xx")),
+        # too-short text → dropped
+        (5, "ab", bytearray(codecs.encode_ppm(_img(23)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id int, text string, content binary")
+    out = {r["media_id"]: r for r in dedup.image_diversity_filter(df).collect()}
+    assert out[0]["keep"]
+    assert not out[1]["keep"]  # text near-dup
+    assert not out[2]["keep"] and out[2]["img_min_hamming"] == 0
+    assert out[3]["keep"]
+    assert not out[4]["keep"] and out[4]["decode_failed"]
+    assert not out[5]["keep"]
