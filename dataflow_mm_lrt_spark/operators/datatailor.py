@@ -1,0 +1,414 @@
+"""DataTailor collaborative data selection — the reference's
+DataTailorFilter (core_vision/filter/datatailor_filter.py:18, run
+374-459) re-expressed Spark-first.
+
+The reference scores every sample on three axes and keeps the top
+``keep_ratio`` fraction by the rank-normalized collaborative score
+(paper: "DataTailor: value-driven data selection", eqs. 2-6):
+
+* **informativeness** — singular-value entropy (SVE) of the sample's
+  token-embedding matrix (:169-215): ``-Σ (σ/Σσ)·log(σ/Σσ)`` over the
+  SVD of the (n_tokens × dim) matrix, 0 for < 2 tokens.
+* **uniqueness** — within the sample's cluster, the informativeness-
+  weighted sum of euclidean distances to the other members (:240-287,
+  eq. 4).
+* **representativeness** — the cluster's association coefficient
+  ``τ_c = Σ_other exp(cos(centroid_c, centroid_k)) / (K-1)`` shared
+  over members by informativeness weight (:289-349, eqs. 5-6).
+* **selection** (:352-373) — per-axis dense ranks (``argsort∘argsort``)
+  normalized by n, combined ``⅓·inf + ⅔·(uni+rep)/2``; keep the top
+  ``max(1, int(n·keep_ratio))``.
+
+Model slot: the reference extracts token/sample embeddings from
+Qwen2-VL (:96-167) — model-serving-bound, so (as with every generator
+in this engine) the slot is filled deterministically:
+``with_token_features`` derives a per-token feature vector from the
+token's md5 digest; sample embeddings come from the caller's embedding
+column. The math downstream of the model is reproduced exactly.
+
+Scale design (100 TB):
+* informativeness is per-row SVD over tiny matrices — Arrow-batched
+  pandas stage, no shuffle, embarrassingly parallel.
+* clustering: the reference's AgglomerativeClustering (:217-238) is
+  O(n²) memory / O(n³) time — impossible beyond ~10⁴ rows, so it is
+  kept only as the size-gated exact path (``method='agglomerative'``,
+  ``collect_cap``); the default scale path is the existing distributed
+  k-means quantizer (similarity.kmeans_fit — per-iteration traffic is
+  K×dim centroid floats, never rows). K follows the reference formula
+  ``clamp(int(n·clustering_threshold), 2, n//2)`` but is capped at
+  ``max_clusters`` (the reference's K = 0.1·n is itself an artifact of
+  its O(n³) clusterer never seeing more than toy n).
+* uniqueness shuffles once on the cluster id; the O(m²) per-cluster
+  pair distances (the reference's own cost) run inside per-cluster
+  Arrow groups, parallel across clusters, via the |x|²+|y|²-2x·y GEMM
+  identity.
+* representativeness moves only K×dim means + a K×K driver-side
+  similarity through the driver (size-gated by ``max_clusters``).
+* ranks: ``argsort∘argsort`` is a global sort in disguise — computed
+  instead as an exact banded rank (approxQuantile bands → exact band
+  counts → within-band window), the keep_top_fraction layout
+  (ranking.py:39), so no single-task sort appears at any n.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..cache import scoped_persist
+
+TOKEN_DIM = 16
+
+
+def token_feature_vector(token: str, dim: int = TOKEN_DIM) -> np.ndarray:
+    """Deterministic stand-in for a model token embedding: the token's
+    md5 digest bytes mapped affinely to [-1, 1]. Stable across engine,
+    oracle and tests by construction."""
+    raw = hashlib.md5(token.encode("utf-8")).digest()
+    b = np.frombuffer((raw * ((dim + 15) // 16))[:dim], dtype=np.uint8)
+    return (b.astype(np.float64) - 127.5) / 127.5
+
+
+def with_token_features(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "token_features",
+    dim: int = TOKEN_DIM,
+) -> DataFrame:
+    """Fill the model slot: whitespace tokens → md5 feature rows
+    (n_tokens × dim). Arrow-batched, no shuffle."""
+
+    @F.pandas_udf(ArrayType(ArrayType(FloatType())))
+    def feats(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: [
+                [float(v) for v in token_feature_vector(w, dim)]
+                for w in (t or "").split()
+            ]
+        )
+
+    return df.withColumn(out_col, feats(F.col(text_col)))
+
+
+def with_informativeness(
+    df: DataFrame,
+    token_features_col: str = "token_features",
+    out_col: str = "informativeness",
+) -> DataFrame:
+    """SVE informativeness (datatailor_filter.py:169-215): float32 SVD
+    of the token matrix, σ ≤ 1e-8 filtered, entropy of the normalized
+    spectrum; < 2 tokens → 0."""
+
+    @F.pandas_udf(DoubleType())
+    def sve(s: pd.Series) -> pd.Series:
+        out = []
+        for m in s:
+            if m is None or len(m) < 2:
+                out.append(0.0)
+                continue
+            tf = np.asarray([list(r) for r in m], dtype=np.float32)
+            try:
+                sv = np.linalg.svd(tf, compute_uv=False)
+            except np.linalg.LinAlgError:
+                out.append(0.0)
+                continue
+            sv = sv[sv > 1e-8]
+            if len(sv) == 0:
+                out.append(0.0)
+                continue
+            p = sv / sv.sum()
+            out.append(float(-np.sum(p * np.log(p + 1e-10))))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, sve(F.col(token_features_col)))
+
+
+def agglomerative_average_cosine(X: np.ndarray, n_clusters: int) -> np.ndarray:
+    """Average-linkage agglomerative clustering on cosine distance —
+    the reference's clusterer (datatailor_filter.py:231-237,
+    sklearn AgglomerativeClustering(metric='cosine',
+    linkage='average')), via Lance-Williams updates. Average linkage is
+    reducible, so greedy min-pair merging reproduces sklearn's NN-chain
+    dendrogram whenever pair distances are distinct. Labels number
+    clusters by their smallest member index (the partition, not the
+    label values, is what downstream math consumes). O(n²·m) — the
+    exact path only; the scale path is k-means."""
+    n = X.shape[0]
+    if n <= 2 or n_clusters >= n:
+        return np.zeros(n, dtype=int) if n_clusters <= 1 else np.arange(n)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    D = 1.0 - Xn @ Xn.T
+    np.fill_diagonal(D, np.inf)
+    size = np.ones(n)
+    parent = np.arange(n)
+    active = np.ones(n, dtype=bool)
+    for _ in range(n - n_clusters):
+        flat = np.argmin(D)
+        i, j = divmod(int(flat), n)
+        if i > j:
+            i, j = j, i
+        # Lance-Williams average-linkage update into row/col i
+        d_new = (size[i] * D[i] + size[j] * D[j]) / (size[i] + size[j])
+        D[i], D[:, i] = d_new, d_new
+        D[i, i] = np.inf
+        D[j], D[:, j] = np.inf, np.inf
+        size[i] += size[j]
+        active[j] = False
+        parent[parent == j] = i
+    label_of = {r: k for k, r in enumerate(sorted(set(parent.tolist())))}
+    return np.asarray([label_of[p] for p in parent], dtype=int)
+
+
+def exact_ranks(
+    df: DataFrame,
+    score_col: str,
+    tie_col: str,
+    out_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """0-based exact dense position of each row under (score asc,
+    tie asc) — ``np.argsort(np.argsort(score))`` with ties broken by
+    ``tie_col`` — without a global single-task sort: approxQuantile
+    bands (equal scores always share a band), exact per-band counts →
+    driver-side offsets (≤ n_buckets entries), within-band
+    ``row_number`` + offset."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(score_col, probs, 0.001)))
+    if bounds:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        band = F.size(F.filter(arr, lambda b: b < F.col(score_col).cast("double")))
+    else:
+        band = F.lit(0)
+    banded = df.withColumn("_band", band)
+    counts = sorted(
+        (r["_band"], r["cnt"])
+        for r in banded.groupBy("_band").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, cum = [], 0
+    for b, c in counts:
+        offsets += [F.lit(b), F.lit(cum)]
+        cum += c
+    off = F.create_map(*offsets)[F.col("_band")] if offsets else F.lit(0)
+    w = Window.partitionBy("_band").orderBy(
+        F.col(score_col).asc(), F.col(tie_col).asc()
+    )
+    return banded.withColumn(
+        out_col, (F.row_number().over(w) - 1 + off).cast("long")
+    ).drop("_band")
+
+
+def _cluster_uniqueness(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """Per-cluster informativeness-weighted distance sums (eq. 4), one
+    shuffle on the cluster id, GEMM distances inside the Arrow group."""
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [StructField(id_col, id_type), StructField("uniqueness", DoubleType())]
+    )
+
+    def run(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = len(pdf)
+        if m <= 1:
+            return pd.DataFrame({id_col: pdf[id_col], "uniqueness": np.zeros(m)})
+        X = np.asarray([list(v) for v in pdf[emb_col]], dtype=np.float64)
+        inf = pdf["informativeness"].to_numpy(dtype=np.float64)
+        w = inf / inf.sum() if inf.sum() > 0 else np.full(m, 1.0 / m)
+        sq = (X * X).sum(axis=1)
+        d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)
+        D = np.sqrt(d2)
+        np.fill_diagonal(D, 0.0)
+        return pd.DataFrame({id_col: pdf[id_col], "uniqueness": D @ w})
+
+    return df.select(id_col, "_cell", emb_col, "informativeness").groupBy(
+        "_cell"
+    ).applyInPandas(run, schema=schema)
+
+
+def datatailor_select(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    embedding_col: str = "embedding",
+    token_features_col: str | None = None,
+    text_col: str | None = None,
+    keep_ratio: float = 0.8,
+    clustering_threshold: float = 0.1,
+    method: str = "kmeans",
+    n_clusters: int | None = None,
+    max_clusters: int = 4096,
+    kmeans_iters: int = 4,
+    collect_cap: int = 20_000,
+    mark_only: bool = True,
+) -> DataFrame:
+    """The full DataTailor pipeline (datatailor_filter.py run 374-459).
+
+    Output: (id_col, informativeness, uniqueness, representativeness,
+    selected) — marks by default; ``mark_only=False`` filters to the
+    selected rows like the reference's storage.write.
+
+    ``method='agglomerative'`` is the reference-exact path (size-gated
+    collect ≤ ``collect_cap``; clustering, centroids and τ all
+    driver-side on the already-collected matrix); ``method='kmeans'``
+    (default) is the distributed scale path with identical downstream
+    math. Selection ties follow numpy's stable argsort: equal
+    collaborative scores prefer the larger ``id_col`` (the reference's
+    positional index order)."""
+    from . import similarity
+
+    base = df
+    if token_features_col is None:
+        if text_col is None:
+            raise ValueError("need token_features_col or text_col")
+        base = with_token_features(base, text_col)
+        token_features_col = "token_features"
+    base = scoped_persist(
+        with_informativeness(base, token_features_col).select(
+            id_col, embedding_col, "informativeness"
+        )
+    )
+    n = base.count()
+    if n == 0:
+        return base.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    base.schema[id_col],
+                    StructField("informativeness", DoubleType()),
+                    StructField("uniqueness", DoubleType()),
+                    StructField("representativeness", DoubleType()),
+                    StructField("selected", BooleanType()),
+                ]
+            ),
+        )
+
+    k = n_clusters or min(max(2, int(n * clustering_threshold)), n // 2, max_clusters)
+    k = max(k, 1)
+
+    tau_by_cell: dict[int, float]
+    if n <= 2:
+        labeled = base.withColumn("_cell", F.lit(0))
+        tau_by_cell = {0: 1.0}
+    elif method == "agglomerative":
+        rows = base.select(id_col, embedding_col).orderBy(id_col).collect()
+        if len(rows) > collect_cap:
+            raise ValueError(
+                f"agglomerative path is O(n^2) and size-gated at {collect_cap} "
+                f"rows (got {n}); use method='kmeans' for the distributed path"
+            )
+        ids = [r[id_col] for r in rows]
+        X = np.asarray([list(r[embedding_col]) for r in rows], dtype=np.float64)
+        labels = agglomerative_average_cosine(X, k)
+        lab_df = base.sparkSession.createDataFrame(
+            list(zip(ids, [int(v) for v in labels])),
+            StructType([base.schema[id_col], StructField("_cell", LongType())]),
+        )
+        labeled = base.join(F.broadcast(lab_df), on=id_col)
+        tau_by_cell = _tau_from_matrix(X, labels)
+    else:
+        cents = similarity.kmeans_fit(
+            base, k, n_iters=kmeans_iters, id_col=id_col, emb_col=embedding_col
+        )
+        labeled = similarity.assign_cells(base, cents, embedding_col, "_cell")
+        # true member means (not the k-means centroids: the reference uses
+        # the mean of the final assignment), K×dim through the driver
+        mean_rows = (
+            labeled.select("_cell", F.posexplode(embedding_col).alias("pos", "v"))
+            .groupBy("_cell", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        dims = 1 + max(r["pos"] for r in mean_rows)
+        cells = sorted({r["_cell"] for r in mean_rows})
+        cent = np.zeros((len(cells), dims))
+        cell_ix = {c: i for i, c in enumerate(cells)}
+        for r in mean_rows:
+            cent[cell_ix[r["_cell"]], r["pos"]] = r["m"]
+        tau = _tau_values(cent)
+        tau_by_cell = {c: float(tau[cell_ix[c]]) for c in cells}
+
+    labeled = scoped_persist(labeled)
+
+    uniq = _cluster_uniqueness(labeled, id_col, embedding_col)
+
+    tau_df = F.broadcast(
+        labeled.sparkSession.createDataFrame(
+            [(int(c), float(t)) for c, t in tau_by_cell.items()],
+            "_cell long, _tau double",
+        )
+    )
+    if len(tau_by_cell) <= 1:
+        # single cluster: the reference short-circuits to all-ones
+        # (datatailor_filter.py:308-310), NOT τ-weighted shares
+        rep = labeled.select(
+            id_col, "informativeness", F.lit(1.0).alias("representativeness")
+        )
+    else:
+        inf_sums = labeled.groupBy("_cell").agg(
+            F.sum("informativeness").alias("_inf_sum"),
+            F.count("*").alias("_cnt"),
+        )
+        rep = (
+            labeled.join(inf_sums, on="_cell")
+            .join(tau_df, on="_cell")
+            .select(
+                id_col,
+                "informativeness",
+                F.when(
+                    F.col("_inf_sum") > 0,
+                    F.col("_tau") * F.col("informativeness") / F.col("_inf_sum"),
+                )
+                .otherwise(F.col("_tau") / F.col("_cnt"))
+                .alias("representativeness"),
+            )
+        )
+    metrics = scoped_persist(rep.join(uniq, on=id_col))
+
+    ranked = exact_ranks(metrics, "informativeness", id_col, "_r_inf")
+    ranked = exact_ranks(ranked, "uniqueness", id_col, "_r_uni")
+    ranked = exact_ranks(ranked, "representativeness", id_col, "_r_rep")
+    collab = ranked.withColumn(
+        "_collab",
+        (F.col("_r_inf") + F.col("_r_uni") + F.col("_r_rep")) / F.lit(3.0 * n),
+    )
+    n_select = max(1, int(n * keep_ratio))
+    final = exact_ranks(scoped_persist(collab), "_collab", id_col, "_r_c").select(
+        id_col,
+        "informativeness",
+        "uniqueness",
+        "representativeness",
+        (F.col("_r_c") >= F.lit(n - n_select)).alias("selected"),
+    )
+    return final if mark_only else final.filter("selected")
+
+
+def _tau_values(centroids: np.ndarray) -> np.ndarray:
+    """τ_c (datatailor_filter.py:317-334): the reference zeroes the
+    self-similarity then sums ``exp`` over the WHOLE row — so the self
+    term contributes exp(0)=1 to the numerator. Reproduced faithfully:
+    τ_c = (Σ_{k≠c} exp(cos(c̄_c, c̄_k)) + 1) / (K-1)."""
+    K = centroids.shape[0]
+    if K <= 1:
+        return np.ones(max(K, 1))
+    cn = centroids / (np.linalg.norm(centroids, axis=1, keepdims=True) + 1e-8)
+    sims = cn @ cn.T
+    np.fill_diagonal(sims, 0.0)
+    return np.exp(sims).sum(axis=1) / (K - 1)
+
+
+def _tau_from_matrix(X: np.ndarray, labels: np.ndarray) -> dict[int, float]:
+    cells = sorted(set(labels.tolist()))
+    cent = np.stack([X[labels == c].mean(axis=0) for c in cells])
+    tau = _tau_values(cent)
+    return {int(c): float(tau[i]) for i, c in enumerate(cells)}

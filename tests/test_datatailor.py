@@ -1,0 +1,211 @@
+"""DataTailor collaborative selection vs the faithful numpy port of the
+reference (oracle/datatailor_port.py).
+
+Independence notes: the engine clusters via Lance-Williams incremental
+updates, the port recomputes average linkage from the raw pair matrix
+each merge — agreement is a real cross-check. Token feature matrices
+are built HERE with a twin of the md5 featurizer, fed identically to
+both sides, so the comparisons isolate the operator math."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_mm_lrt_spark.operators import datatailor as dt
+from dataflow_mm_lrt_spark.oracle import datatailor_port as port
+
+
+def _twin_features(text: str, dim: int = 16) -> np.ndarray:
+    rows = []
+    for w in text.split():
+        raw = hashlib.md5(w.encode()).digest()
+        b = np.frombuffer(raw[:dim], dtype=np.uint8)
+        rows.append((b.astype(np.float64) - 127.5) / 127.5)
+    return np.asarray(rows) if rows else np.zeros((0, dim))
+
+
+def _fixture(n=60, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    words = ["w%d" % i for i in range(50)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(2, 12)))
+        for _ in range(n)
+    ]
+    # clustered embeddings: 4 well-spread anchors + noise
+    anchors = rng.normal(size=(4, dim)) * 5
+    X = np.stack(
+        [anchors[i % 4] + rng.normal(size=dim) * 0.8 for i in range(n)]
+    )
+    return texts, X
+
+
+def test_featurizer_matches_twin():
+    v = dt.token_feature_vector("hello")
+    assert np.allclose(v, _twin_features("hello")[0])
+
+
+def test_informativeness_matches_port(spark):
+    texts, X = _fixture(20)
+    texts[0] = ""        # 0 tokens → 0.0
+    texts[1] = "solo"    # 1 token → 0.0
+    rows = [
+        (i, [[float(v) for v in r] for r in _twin_features(t)])
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, token_features array<array<float>>"
+    )
+    got = {
+        r["vec_id"]: r["informativeness"]
+        for r in dt.with_informativeness(df).collect()
+    }
+    want = port.informativeness([_twin_features(t) for t in texts])
+    for i in range(20):
+        assert got[i] == pytest.approx(want[i], abs=1e-6)
+    assert got[0] == 0.0 and got[1] == 0.0
+
+
+def _partition(labels):
+    groups = {}
+    for i, l in enumerate(labels):
+        groups.setdefault(int(l), []).append(i)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_agglomerative_matches_naive_port(seed):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(40, 6))
+    mine = dt.agglomerative_average_cosine(X, max(2, int(40 * 0.1)))
+    ref = port.cluster_labels(X, 0.1)
+    assert _partition(mine) == _partition(ref)
+
+
+def test_agglomerative_recovers_separated_blobs():
+    rng = np.random.default_rng(3)
+    # 3 orthogonal directions, tight noise, blob-major row order →
+    # cosine clustering must recover the blobs exactly
+    dirs = np.eye(3) * 10
+    X = np.vstack(
+        [dirs[b] + rng.normal(size=3) * 0.2 for b in range(3) for _ in range(8)]
+    )
+    labels = dt.agglomerative_average_cosine(X, 3)
+    blobs = frozenset(frozenset(range(b * 8, b * 8 + 8)) for b in range(3))
+    assert _partition(labels) == blobs
+
+
+def test_exact_ranks_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    vals = np.round(rng.normal(size=200), 1)  # coarse → plenty of ties
+    rows = [(int(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "vec_id int, s double")
+    got = {
+        r["vec_id"]: r["rk"]
+        for r in dt.exact_ranks(df, "s", "vec_id", "rk").collect()
+    }
+    want = np.argsort(np.argsort(vals, kind="stable"), kind="stable")
+    for i in range(200):
+        assert got[i] == want[i], i
+
+
+def test_datatailor_exact_path_matches_port(spark):
+    texts, X = _fixture(60)
+    rows = [
+        (
+            i,
+            [float(v) for v in X[i]],
+            [[float(v) for v in r] for r in _twin_features(t)],
+        )
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "vec_id int, embedding array<double>, token_features array<array<float>>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in dt.datatailor_select(
+            df,
+            token_features_col="token_features",
+            method="agglomerative",
+            keep_ratio=0.5,
+        ).collect()
+    }
+    want = port.run(
+        [_twin_features(t) for t in texts], X, keep_ratio=0.5
+    )
+    assert len(got) == 60
+    for i in range(60):
+        assert got[i]["informativeness"] == pytest.approx(
+            want["informativeness"][i], abs=1e-6
+        )
+        assert got[i]["uniqueness"] == pytest.approx(
+            want["uniqueness"][i], rel=1e-9, abs=1e-9
+        )
+        assert got[i]["representativeness"] == pytest.approx(
+            want["representativeness"][i], rel=1e-6, abs=1e-9
+        )
+        assert got[i]["selected"] == bool(want["selected"][i]), i
+    assert sum(r["selected"] for r in got.values()) == 30
+
+
+def test_datatailor_kmeans_path_deterministic_and_partition_invariant(spark):
+    texts, X = _fixture(50, seed=13)
+    rows = [
+        (
+            i,
+            [float(v) for v in X[i]],
+            [[float(v) for v in r] for r in _twin_features(t)],
+        )
+        for i, t in enumerate(texts)
+    ]
+    schema = "vec_id int, embedding array<double>, token_features array<array<float>>"
+    df = spark.createDataFrame(rows, schema)
+    out1 = {
+        r["vec_id"]: r["selected"]
+        for r in dt.datatailor_select(
+            df, token_features_col="token_features", keep_ratio=0.8
+        ).collect()
+    }
+    out2 = {
+        r["vec_id"]: r["selected"]
+        for r in dt.datatailor_select(
+            df.repartition(7), token_features_col="token_features", keep_ratio=0.8
+        ).collect()
+    }
+    assert out1 == out2
+    assert sum(out1.values()) == int(50 * 0.8)
+
+
+def test_datatailor_single_cluster_rep_is_one(spark):
+    texts, X = _fixture(10, seed=21)
+    rows = [
+        (
+            i,
+            [float(v) for v in X[i]],
+            [[float(v) for v in r] for r in _twin_features(t)],
+        )
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "vec_id int, embedding array<double>, token_features array<array<float>>",
+    )
+    out = dt.datatailor_select(
+        df, token_features_col="token_features", n_clusters=1,
+        method="agglomerative",
+    ).collect()
+    assert all(r["representativeness"] == 1.0 for r in out)
+
+
+def test_text_path_fills_model_slot(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "vec_id int, text string"
+    )
+    (r,) = dt.with_token_features(df, "text").collect()
+    tf = np.asarray([list(x) for x in r["token_features"]])
+    assert np.allclose(tf, _twin_features("alpha beta gamma"), atol=1e-6)
