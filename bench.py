@@ -58,6 +58,9 @@ HEADLINE = [
     # round-4 additions
     "normalize_zh",
     "wiki_qa_refiner",
+    # round-5 additions
+    "dedup_phash",
+    "media_metrics",
 ]
 
 
@@ -131,7 +134,12 @@ def transcript_dataset_for(sf: float, n_files: int = 8,
 
 
 def main() -> None:
-    from dataflow_mm_lrt_spark.contract import QUERIES
+    from dataflow_mm_lrt_spark.contract import EXTRA_QUERIES
+    from dataflow_mm_lrt_spark.contract import QUERIES as _DRIVER_QUERIES
+
+    # HEADLINE continuity across rounds: names demoted from the driver's
+    # 50-row contract into EXTRA_QUERIES keep benching here
+    QUERIES = {**_DRIVER_QUERIES, **EXTRA_QUERIES}
     from dataflow_mm_lrt_spark.session import build_session
     from dataflow_mm_lrt_spark.streaming.run import PipelineConfig, run_pipeline
 

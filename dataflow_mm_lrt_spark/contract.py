@@ -1652,6 +1652,250 @@ FROM f
 """
 
 
+# --------------------------------------------------------------------
+# round-5 media + DataTailor rows (golden-backed oracles; the goldens
+# are generated by INDEPENDENT implementations — see
+# tools/gen_media_goldens.py for the three independence stories)
+# --------------------------------------------------------------------
+
+
+def _golden(name: str) -> str:
+    import os as _os
+
+    return _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "goldens", name
+    )
+
+
+def _image_content_col(id_col):
+    """BinaryType pandas UDF: id → deterministic PNG bytes (mediagen)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def img(s):
+        from . import mediagen
+
+        return s.map(lambda i: mediagen.image_bytes(int(i)))
+
+    return img(id_col)
+
+
+def _audio_content_col(id_col):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def aud(s):
+        from . import mediagen
+
+        return s.map(lambda i: mediagen.audio_bytes(int(i)))
+
+    return aud(id_col)
+
+
+def _round6_col(col):
+    """ROUND(x, 6) with the DuckDB/golden half-away-from-zero semantics
+    (operators/gemm._round6) — Spark's F.round HALF_UPs the shortest
+    decimal repr, which can differ one ulp from the goldens."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def r6(s):
+        import numpy as np
+
+        from .operators.gemm import _round6
+
+        return pd.Series(_round6(s.to_numpy(dtype=np.float64)))
+
+    return r6(col)
+
+
+def q_dedup_phash(spark, sf_dir):
+    """Perceptual-hash image near-dup marking (the reference
+    ImageDuplicateFilter, image_diversity_filter.py:37-62) over REAL
+    PNG bytes synthesized per doc_id (mediagen.py): decode → 64-bit
+    DCT pHash → pigeonhole-bucket Hamming join. The oracle recomputes
+    the marking brute-force (all-pairs xor+bit_count in SQL) from the
+    committed golden hashes of the RAW arrays — so this row checks the
+    distributed candidate join AND the PNG round-trip at once."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    media = docs.withColumn("content", _image_content_col(F.col("media_id")))
+    out = dedup.phash_near_dup(
+        media, content_col="content", id_col="media_id", hamming_threshold=5
+    )
+    return out.select(
+        "media_id",
+        "is_dup",
+        F.coalesce("min_hamming", F.lit(-1)).cast("long").alias("min_hamming"),
+        "decode_failed",
+    )
+
+
+def sql_dedup_phash():
+    return f"""
+WITH h AS (
+  SELECT d.doc_id AS media_id, g.phash
+  FROM documents d JOIN read_parquet('{_golden("phash.parquet")}') g
+    ON d.doc_id = g.media_id
+),
+pairs AS (
+  SELECT b.media_id AS media_id, bit_count(xor(a.phash, b.phash)) AS dist
+  FROM h a JOIN h b ON a.media_id < b.media_id
+),
+dups AS (
+  SELECT media_id, min(dist) AS min_hamming FROM pairs
+  WHERE dist <= 5 GROUP BY 1
+)
+SELECT h.media_id, dups.media_id IS NOT NULL AS is_dup,
+       coalesce(dups.min_hamming, -1)::BIGINT AS min_hamming,
+       false AS decode_failed
+FROM h LEFT JOIN dups USING (media_id)
+"""
+
+
+def q_image_diversity(spark, sf_dir):
+    """ImageDiversityFilter (image_diversity_filter.py:65-120): keep a
+    row iff text-novel (TF-IDF cosine < 0.8 vs earlier) AND image-novel
+    (pHash Hamming > 5 vs earlier). The oracle composes the existing
+    TF-IDF SQL (corpus-aware, from the documents view) with the
+    brute-force Hamming marking over the golden hashes."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    media = docs.withColumn("content", _image_content_col(F.col("media_id")))
+    out = dedup.image_diversity_filter(
+        media, text_col="text", content_col="content", id_col="media_id"
+    )
+    return out.select(
+        "media_id",
+        "keep",
+        "text_max_cosine",
+        F.coalesce("img_min_hamming", F.lit(-1)).cast("long").alias("img_min_hamming"),
+        "decode_failed",
+    )
+
+
+def sql_image_diversity():
+    return f"""
+WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{{2,}}')) AS term
+        FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+w AS (SELECT doc_id, tf.term, tf * (ln((1e0 + n.n) / (1e0 + df_t)) + 1e0) AS w
+      FROM tf JOIN dft USING (term) CROSS JOIN n),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+wn AS (SELECT w.doc_id, term, w / norm AS wn FROM w JOIN norms USING (doc_id)),
+tpairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, round(sum(l.wn * r.wn), 6) AS cosine
+  FROM wn l JOIN wn r ON l.term = r.term AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+tdups AS (SELECT id_b, round(max(cosine), 6) AS max_cosine FROM tpairs
+          WHERE cosine >= 0.8 GROUP BY 1),
+h AS (
+  SELECT d.doc_id AS media_id, g.phash
+  FROM documents d JOIN read_parquet('{_golden("phash.parquet")}') g
+    ON d.doc_id = g.media_id
+),
+ipairs AS (
+  SELECT b.media_id AS media_id, bit_count(xor(a.phash, b.phash)) AS dist
+  FROM h a JOIN h b ON a.media_id < b.media_id
+),
+idups AS (SELECT media_id, min(dist) AS min_hamming FROM ipairs
+          WHERE dist <= 5 GROUP BY 1)
+SELECT d.doc_id AS media_id,
+       (tdups.id_b IS NULL AND NOT (len(d.text) < 3)
+        AND idups.media_id IS NULL) AS keep,
+       coalesce(tdups.max_cosine, 0.0) AS text_max_cosine,
+       coalesce(idups.min_hamming, -1)::BIGINT AS img_min_hamming,
+       false AS decode_failed
+FROM documents d LEFT JOIN tdups ON d.doc_id = tdups.id_b
+                 LEFT JOIN idups ON d.doc_id = idups.media_id
+"""
+
+
+def q_media_metrics(spark, sf_dir):
+    """No-model image + audio quality metrics over real codec bytes
+    (operators/media_metrics.py: Rec.601 luma brightness/contrast,
+    Hasler-Süsstrunk colorfulness, Laplacian sharpness; RMS dBFS,
+    clipping ratio, silence ratio). The golden recomputes every metric
+    from an INDEPENDENT inline implementation over the raw synth arrays
+    — no shared code with the operator or the codecs — so this row
+    proves operator math AND the PNG/WAV round-trips."""
+    from .operators import media_metrics as mm
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id")
+    )
+    img = mm.image_metrics(
+        docs.withColumn("content", _image_content_col(F.col("media_id")))
+    )
+    aud = mm.audio_metrics(
+        docs.withColumn("content", _audio_content_col(F.col("media_id")))
+    )
+    out = img.join(aud, on="media_id")
+    for c in (
+        "brightness", "contrast", "colorfulness", "sharpness",
+        "duration_s", "rms_db", "clipping_ratio", "silence_ratio",
+    ):
+        out = out.withColumn(c, _round6_col(F.col(c)))
+    return out
+
+
+def sql_media_metrics():
+    return f"""
+SELECT g.* FROM read_parquet('{_golden("media_metrics.parquet")}') g
+JOIN documents d ON CAST(d.doc_id AS VARCHAR) = g.media_id
+"""
+
+
+def q_datatailor_select(spark, sf_dir):
+    """DataTailor collaborative selection (datatailor_filter.py run
+    374-459) over the embeddings⋈documents fixture: SVD-entropy
+    informativeness, intra-cluster uniqueness, τ-shared
+    representativeness, rank-combined top-70%. Runs the reference-exact
+    agglomerative path (the fixture is ≤500 rows, inside the size
+    gate); the distributed k-means scale path shares all downstream
+    math and is parity-tested in tests/test_datatailor.py. The golden
+    comes from the from-definition numpy port keyed by a corpus md5
+    (sf0.001/sf0.01 share ids but not content)."""
+    from .operators import datatailor as dt
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "text"
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = dt.datatailor_select(
+        emb.join(docs, on="vec_id"),
+        id_col="vec_id",
+        embedding_col="embedding",
+        text_col="text",
+        keep_ratio=0.7,
+        method="agglomerative",
+    )
+    return out.select(
+        "vec_id",
+        _round6_col(F.col("informativeness")).alias("informativeness"),
+        _round6_col(F.col("uniqueness")).alias("uniqueness"),
+        _round6_col(F.col("representativeness")).alias("representativeness"),
+        "selected",
+    )
+
+
+def sql_datatailor_select():
+    return f"""
+SELECT g.vec_id, g.informativeness, g.uniqueness, g.representativeness,
+       g.selected
+FROM read_parquet('{_golden("datatailor.parquet")}') g
+JOIN documents d ON g.vec_id = d.doc_id
+WHERE g.corpus_key =
+  (SELECT md5(string_agg(text, '|' ORDER BY doc_id)) FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1675,7 +1919,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_first_event": q_dedup_first_event,
     "assemble_trail": q_assemble_trail,
     "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
     "top_customers_per_nation": q_top_customers_per_nation,
     "dedup_embedding_cosine": q_dedup_embedding,
     "basic_normalize": q_basic_normalize,
@@ -1684,7 +1927,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_brute_cosine": q_knn_brute,
     "ann_ivf_cosine": q_ann_ivf,
     "knn_uniqueness_filter": q_knn_uniqueness,
-    "embedding_norms": q_embedding_norms,
     "functional_refiner": q_functional_refiner,
     "keep_top_fraction": q_keep_top_fraction,
     "messages_assembly": q_messages_assembly,
@@ -1703,19 +1945,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hypertable_rollup": q_hypertable_rollup,
     "kmv_distinct": q_kmv_distinct,
     "ann_lsh_cells": q_ann_lsh_cells,
-    "ann_auto_cells": q_ann_auto_cells,
-    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
     "ann_kmeans_multiprobe": q_ann_kmeans_multiprobe,
     "kmeans_cells": q_kmeans_cells,
+    # round-5 additions
+    "dedup_phash": q_dedup_phash,
+    "image_diversity": q_image_diversity,
+    "media_metrics": q_media_metrics,
+    "datatailor_select": q_datatailor_select,
 }
 
 # The driver's correctness report holds at most 50 rows (r03 recorded
 # exactly the first 50 of 51 ``queries()`` entries, insertion-ordered).
-# ``rule_flags`` substantially overlaps ``rule_filter``'s surface (same
-# 15-rule library, flags vs filter projection), so it lives here: still
-# value-checked by tests/test_contract_oracle.py, not driver-visible.
+# Entries here stay fully value-checked by tests/test_contract_oracle.py
+# and tools/check_correctness.py but are not driver-visible; each
+# substantially overlaps a retained row's surface:
+#   rule_flags        — rule_filter (same 15-rule library, flags vs filter)
+#   top_revenue_orders — pricing_summary + top_customers_per_nation (TPC-H
+#                        demo shapes: filtered agg / per-group top-n)
+#   embedding_norms   — trivial projection exercised inside every ANN row
+#   ann_auto_cells    — ann_lsh_cells (same path; auto regime pick)
+#   ann_lsh_multiprobe — ann_kmeans_multiprobe (same multiprobe machinery,
+#                        LSH vs k-means quantizer; quantizers covered by
+#                        ann_lsh_cells / kmeans_cells rows)
+# The round-5 media + DataTailor rows took the freed slots.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rule_flags": q_rule_flags,
+    "top_revenue_orders": q_top_revenue_orders,
+    "embedding_norms": q_embedding_norms,
+    "ann_auto_cells": q_ann_auto_cells,
+    "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
 }
 
 ORACLES: dict[str, str] = {
@@ -1737,7 +1995,6 @@ ORACLES: dict[str, str] = {
     "dedup_first_event": sql_dedup_first_event(),
     "assemble_trail": sql_assemble_trail(),
     "pricing_summary": sql_pricing_summary(),
-    "top_revenue_orders": sql_top_revenue_orders(),
     "top_customers_per_nation": sql_top_customers_per_nation(),
     "dedup_embedding_cosine": sql_dedup_embedding(),
     "basic_normalize": sql_basic_normalize(),
@@ -1746,7 +2003,6 @@ ORACLES: dict[str, str] = {
     "knn_brute_cosine": sql_knn_brute(),
     "ann_ivf_cosine": sql_ann_ivf(),
     "knn_uniqueness_filter": sql_knn_uniqueness(),
-    "embedding_norms": sql_embedding_norms(),
     "functional_refiner": sql_functional_refiner(),
     "keep_top_fraction": sql_keep_top_fraction(),
     "messages_assembly": sql_messages_assembly(),
@@ -1765,16 +2021,23 @@ ORACLES: dict[str, str] = {
     "hypertable_rollup": sql_hypertable_rollup(),
     "kmv_distinct": sql_kmv_distinct(),
     "ann_lsh_cells": sql_ann_lsh_cells(),
-    "ann_auto_cells": sql_ann_auto_cells(),
-    "ann_lsh_multiprobe": sql_ann_lsh_multiprobe(),
     "ann_kmeans_multiprobe": sql_ann_kmeans_multiprobe(),
     # kmeans_cells: n_iters is a fixed constant, so the Lloyd recursion
     # unrolls into straight-line SQL — a full value oracle after all
     "kmeans_cells": sql_kmeans_cells(),
+    # round-5 additions (golden-backed, see tools/gen_media_goldens.py)
+    "dedup_phash": sql_dedup_phash(),
+    "image_diversity": sql_image_diversity(),
+    "media_metrics": sql_media_metrics(),
+    "datatailor_select": sql_datatailor_select(),
 }
 
 EXTRA_ORACLES: dict[str, str] = {
     "rule_flags": sql_rule_flags(),
+    "top_revenue_orders": sql_top_revenue_orders(),
+    "embedding_norms": sql_embedding_norms(),
+    "ann_auto_cells": sql_ann_auto_cells(),
+    "ann_lsh_multiprobe": sql_ann_lsh_multiprobe(),
 }
 
 

@@ -1,0 +1,69 @@
+"""Deterministic synthetic media content for the driver contract and
+the golden generators (tools/gen_media_goldens.py).
+
+Everything here is seeded ONLY by the integer row id, so the emitted
+bytes are identical at every scale factor — the contract oracles join
+goldens on the id and restrict to the ids present in the ``documents``
+view, which makes the corpus-level dedup math scale-aware while the
+per-row content stays fixed.
+
+Image design: ``N_IMAGE_BASES`` structured base patterns (smooth
+gradients + hard blocks, so the 32×32 pHash downscale keeps real
+low-frequency content) with a small per-id pixel perturbation — ids
+sharing a base are perceptual near-duplicates (Hamming ≲ 5), distinct
+bases sit ~32 bits apart (tests/test_phash.py pins both properties).
+
+Audio design: mono int16 sine at an id-dependent frequency/amplitude
+with an id-dependent silence tail; every 10th id is driven past the
+rail and clipped. Samples are clipped to ±32767 (symmetric rail) so the
+clipping ratio is exact under int16 ``abs``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .functions.codecs import encode_wav
+from .functions.png import encode_png
+
+N_IMAGE_BASES = 40
+AUDIO_RATE = 8000
+
+
+def synth_image(seed: int, h: int = 64, w: int = 64) -> np.ndarray:
+    base = int(seed) % N_IMAGE_BASES
+    rng = np.random.default_rng(1_000 + base)
+    yy, xx = np.mgrid[0:h, 0:w]
+    a, b, c = rng.uniform(0.02, 0.2, 3)
+    p0, p1 = rng.uniform(0, 6, 2)
+    img = (
+        128.0
+        + 100.0 * np.sin(a * xx + p0) * np.cos(b * yy + p1)
+        + 60.0 * np.sign(np.sin(c * (xx + yy)))
+    )
+    prng = np.random.default_rng(500_000 + int(seed))
+    img = np.clip(img + prng.integers(-4, 5, size=(h, w)), 0, 255).astype(np.uint8)
+    return np.stack([img, img, img], axis=-1)
+
+
+def image_bytes(seed: int) -> bytes:
+    return encode_png(synth_image(seed))
+
+
+def synth_audio(seed: int, rate: int = AUDIO_RATE) -> tuple[np.ndarray, int]:
+    s = int(seed)
+    n = int(rate * (0.4 + 0.1 * (s % 5)))
+    t = np.arange(n) / rate
+    freq = 120.0 + 13.0 * (s % 37)
+    amp = (1.3 if s % 10 == 0 else 0.15 + 0.18 * (s % 5)) * 32767.0
+    x = amp * np.sin(2 * np.pi * freq * t)
+    sil = int(rate * 0.1 * (s % 4))
+    if sil:
+        x[-sil:] = 0.0
+    samples = np.clip(np.round(x), -32767, 32767).astype(np.int16)
+    return samples.reshape(-1, 1), rate
+
+
+def audio_bytes(seed: int) -> bytes:
+    samples, rate = synth_audio(seed)
+    return encode_wav(samples, rate)

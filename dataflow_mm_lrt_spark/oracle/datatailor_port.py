@@ -109,12 +109,17 @@ def perform_selection(
     inf: np.ndarray, uni: np.ndarray, rep: np.ndarray, keep_ratio: float
 ) -> np.ndarray:
     n = len(inf)
-    inf_n = np.argsort(np.argsort(inf)) / n
-    uni_n = np.argsort(np.argsort(uni)) / n
-    rep_n = np.argsort(np.argsort(rep)) / n
+    # stable argsorts: the reference's default quicksort leaves tie
+    # order unspecified; the engine pins ties to index-ascending ranks
+    # (exact_ranks tie_col), which is exactly stable argsort — so the
+    # port determinizes the same way (collab ties are common: the sum
+    # of three integer ranks)
+    inf_n = np.argsort(np.argsort(inf, kind="stable"), kind="stable") / n
+    uni_n = np.argsort(np.argsort(uni, kind="stable"), kind="stable") / n
+    rep_n = np.argsort(np.argsort(rep, kind="stable"), kind="stable") / n
     collab = (1 / 3) * inf_n + (2 / 3) * (uni_n + rep_n) / 2
     n_select = max(1, int(n * keep_ratio))
-    return np.sort(np.argsort(collab)[-n_select:])
+    return np.sort(np.argsort(collab, kind="stable")[-n_select:])
 
 
 def run(

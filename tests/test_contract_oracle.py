@@ -95,8 +95,9 @@ def test_driver_contract_stays_within_50_rows():
 
 
 def test_bench_headline_names_are_contract_entries():
-    """bench.py indexes contract.QUERIES by name — a rename that forgets
-    the HEADLINE list would crash the driver's per-round bench run."""
+    """bench.py resolves HEADLINE names from QUERIES ∪ EXTRA_QUERIES —
+    a rename that forgets the HEADLINE list would crash the driver's
+    per-round bench run."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -104,5 +105,5 @@ def test_bench_headline_names_are_contract_entries():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    missing = [n for n in mod.HEADLINE if n not in QUERIES]
+    missing = [n for n in mod.HEADLINE if n not in ALL_QUERIES]
     assert not missing, missing

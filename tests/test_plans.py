@@ -12,7 +12,12 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import functions as F
 
-from dataflow_mm_lrt_spark.contract import QUERIES
+from dataflow_mm_lrt_spark.contract import EXTRA_QUERIES
+from dataflow_mm_lrt_spark.contract import QUERIES as _DRIVER_QUERIES
+
+# plan-shape tests cover demoted (EXTRA) entries too — demotion from the
+# driver's 50-row report must not drop plan guarantees
+QUERIES = {**_DRIVER_QUERIES, **EXTRA_QUERIES}
 
 SF_DIR = "/root/testdata/sf0.001"
 
