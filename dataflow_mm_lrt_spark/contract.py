@@ -1720,7 +1720,11 @@ def q_dedup_phash(spark, sf_dir):
     the marking brute-force (all-pairs xor+bit_count in SQL) from the
     committed golden hashes of the RAW arrays — so this row checks the
     distributed candidate join AND the PNG round-trip at once."""
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    # spread BEFORE the synth UDF: the PNG encode is the CPU-heavy
+    # stage and must not run on the narrow input's task count
+    docs = dedup._spread(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    )
     media = docs.withColumn("content", _image_content_col(F.col("media_id")))
     out = dedup.phash_near_dup(
         media, content_col="content", id_col="media_id", hamming_threshold=5
@@ -1761,8 +1765,8 @@ def q_image_diversity(spark, sf_dir):
     (pHash Hamming > 5 vs earlier). The oracle composes the existing
     TF-IDF SQL (corpus-aware, from the documents view) with the
     brute-force Hamming marking over the golden hashes."""
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"), "text"
+    docs = dedup._spread(
+        _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"), "text")
     )
     media = docs.withColumn("content", _image_content_col(F.col("media_id")))
     out = dedup.image_diversity_filter(
@@ -1827,8 +1831,10 @@ def q_media_metrics(spark, sf_dir):
     proves operator math AND the PNG/WAV round-trips."""
     from .operators import media_metrics as mm
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("media_id")
+    docs = dedup._spread(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("media_id")
+        )
     )
     img = mm.image_metrics(
         docs.withColumn("content", _image_content_col(F.col("media_id")))

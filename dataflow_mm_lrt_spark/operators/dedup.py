@@ -32,11 +32,30 @@ from ..functions.normalize import fingerprint_sql
 def _spread(df: DataFrame) -> DataFrame:
     """CPU-heavy hashing over a small file count would otherwise run in
     as few tasks as there are input splits — spread to the cluster's
-    parallelism first (no-op at real scale where splits >> cores)."""
+    parallelism first (no-op at real scale where splits >> cores).
+
+    Deliberately NEVER touches ``df.rdd``: under AQE, converting an
+    exchange-bearing DataFrame to an RDD materializes every upstream
+    query stage as a separate job (measured 4-8× on the media rows,
+    whose inputs carry a repartition + Arrow synth stage), so the
+    partition probe must stay metadata-only. Two cheap checks instead:
+    an existing Repartition node in the logical plan makes this a no-op
+    (idempotence — operators may spread inputs the caller already
+    spread), and the scan's file count approximates the split count
+    (files ≥ cores ⇒ splits ≥ cores ⇒ no-op; at bench scale the inputs
+    are 1-row-group files, where files < cores is exactly the starved
+    case this exists to fix)."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
+    plan = df._jdf.queryExecution().logical().toString()
+    if "Repartition" in plan:
+        return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= p:
+        return df
+    return df.repartition(p)
 
 
 def exact_keep_first(
@@ -616,8 +635,13 @@ def image_diversity_filter(
     (id_col, keep, text_max_cosine, img_min_hamming, decode_failed) —
     marks, not drops, per this engine's convention; callers filter on
     ``keep``."""
+    # explicit projections: the content column is often an expensive
+    # synth/decode expression — column pruning does not reliably remove
+    # it through the TF-IDF self-join, so each branch gets only the
+    # columns it consumes (measured 19 s → ~4 s at sf0.1)
     text_marks = tfidf_cosine_near_dup(
-        df, text_col=text_col, id_col=id_col, threshold=text_threshold
+        df.select(id_col, text_col), text_col=text_col, id_col=id_col,
+        threshold=text_threshold,
     ).select(
         id_col,
         F.col("is_dup").alias("_text_dup"),
@@ -625,7 +649,7 @@ def image_diversity_filter(
         "too_short",
     )
     img_marks = phash_near_dup(
-        df, content_col=content_col, id_col=id_col,
+        df.select(id_col, content_col), content_col=content_col, id_col=id_col,
         hamming_threshold=hamming_threshold, hash_size=hash_size,
     ).select(
         id_col,

@@ -29,9 +29,11 @@ classic non-model baselines become implementable end-to-end:
   max-duration split behavior.
 
 All are Arrow-batched ``mapInPandas`` stages over opaque binary
-columns: at scale the decode cost dominates, parallelism comes from
-input splits, and no shuffle is introduced (1→N operators emit within
-the partition). Downstream filtering composes with the existing
+columns: at scale the decode cost dominates and parallelism comes from
+input splits; ``_spread`` (dedup.py:31) widens narrow inputs to cluster
+parallelism first and is a guarded no-op at real scale (splits ≥
+cores), so no exchange is added where it wouldn't help. 1→N operators
+emit within the partition. Downstream filtering composes with the existing
 schema-tolerant ``range_filter`` (operators/refine.py:80) — that pair
 IS the VideoScoreFilter shape (video_score_filter.py:160).
 """
@@ -43,6 +45,8 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from .dedup import _spread
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -113,7 +117,7 @@ def video_metrics(df: DataFrame, static_eps: float = 1.0) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_METRICS_SCHEMA])
 
-    return df.mapInPandas(run, schema=VIDEO_METRICS_SCHEMA)
+    return _spread(df).mapInPandas(run, schema=VIDEO_METRICS_SCHEMA)
 
 
 SCENE_SCHEMA = StructType(
@@ -183,7 +187,7 @@ def video_scene_rows(
                     rows.append((mid, i, s, e, e - s))
             yield pd.DataFrame(rows, columns=[f.name for f in SCENE_SCHEMA])
 
-    return df.mapInPandas(run, schema=SCENE_SCHEMA)
+    return _spread(df).mapInPandas(run, schema=SCENE_SCHEMA)
 
 
 IMAGE_METRICS_SCHEMA = StructType(
@@ -239,7 +243,7 @@ def image_metrics(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_METRICS_SCHEMA])
 
-    return df.mapInPandas(run, schema=IMAGE_METRICS_SCHEMA)
+    return _spread(df).mapInPandas(run, schema=IMAGE_METRICS_SCHEMA)
 
 
 AUDIO_METRICS_SCHEMA = StructType(
@@ -299,7 +303,7 @@ def audio_metrics(
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_METRICS_SCHEMA])
 
-    return df.mapInPandas(run, schema=AUDIO_METRICS_SCHEMA)
+    return _spread(df).mapInPandas(run, schema=AUDIO_METRICS_SCHEMA)
 
 
 VAD_SCHEMA = StructType(
@@ -358,7 +362,7 @@ def audio_vad(
                 rows.append((mid, spans))
             yield pd.DataFrame(rows, columns=["media_id", "timestamps"])
 
-    return df.mapInPandas(run, schema=VAD_SCHEMA)
+    return _spread(df).mapInPandas(run, schema=VAD_SCHEMA)
 
 
 CHUNK_SCHEMA = StructType(
@@ -415,4 +419,4 @@ def audio_chunk_rows(
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA])
 
-    return df.mapInPandas(run, schema=CHUNK_SCHEMA)
+    return _spread(df).mapInPandas(run, schema=CHUNK_SCHEMA)
