@@ -1891,6 +1891,123 @@ def q_datatailor_select(spark, sf_dir):
     )
 
 
+def _video_content_col(id_col):
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def vid(s):
+        from . import mediagen
+
+        return s.map(lambda i: mediagen.synth_video(int(i)))
+
+    return vid(id_col)
+
+
+def q_video_info(spark, sf_dir):
+    """VideoInfoFilter metadata probe (video_info_filter.py:38-48) over
+    REAL animated-GIF bytes: the synth parameters (frame count, dims,
+    per-frame delay) are closed-form functions of the id
+    (mediagen.video_params), so the oracle recomputes them in SQL
+    arithmetic — the row checks the GIF encode→decode round-trip, the
+    container-timing math (duration = Σdelay, fps = n/duration) and the
+    metadata contract against formulas the codec never sees."""
+    from .operators import media_metrics as mm
+
+    docs = dedup._spread(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("media_id")
+        )
+    )
+    vids = docs.withColumn("content", _video_content_col(F.col("media_id")))
+    out = mm.video_info(vids)
+    return out.select(
+        "media_id",
+        "success",
+        "num_frames",
+        "height",
+        "width",
+        _round6_col(F.col("aspect_ratio")).alias("aspect_ratio"),
+        "resolution",
+        _round6_col(F.col("fps")).alias("fps"),
+        _round6_col(F.col("duration_sec")).alias("duration_sec"),
+    )
+
+
+def sql_video_info():
+    # closed-form twin of mediagen.video_params: n = 2 + id%5,
+    # w = 16 + 8*(id%3), h = 16 + 8*((id//3)%3), delay_cs = 4 + id%4;
+    # duration = n*delay/100, fps = n/duration = 100/delay
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       true AS success,
+       (2 + doc_id % 5)::INT AS num_frames,
+       (16 + 8 * ((doc_id // 3) % 3))::INT AS height,
+       (16 + 8 * (doc_id % 3))::INT AS width,
+       round((16 + 8 * (doc_id % 3)) / (16 + 8 * ((doc_id // 3) % 3)), 6)
+         AS aspect_ratio,
+       ((16 + 8 * (doc_id % 3)) * (16 + 8 * ((doc_id // 3) % 3)))::INT
+         AS resolution,
+       round(1e2 / (4 + doc_id % 4), 6) AS fps,
+       round((2 + doc_id % 5) * (4 + doc_id % 4) / 1e2, 6) AS duration_sec
+FROM documents
+"""
+
+
+def q_video_resolution(spark, sf_dir):
+    """VideoResolutionFilter with the any/all multi-video retention
+    strategy (video_resolution_filter.py:22-51): each document carries
+    1 + doc_id%3 real GIF videos, probed by video_info, collected to an
+    array and gated on width ∈ [24, 32] / height ≥ 16 under BOTH
+    strategies. The oracle replays the closed-form dimension formulas
+    with bool_or/bool_and."""
+    from .operators import media_metrics as mm
+
+    base = dedup._spread(_t(spark, sf_dir, "documents").select("doc_id"))
+    variants = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("v"),
+    )
+    vids = variants.select(
+        "doc_id",
+        (F.col("doc_id") * 10 + F.col("v")).cast("string").alias("media_id"),
+    ).withColumn("content", _video_content_col(F.col("media_id")))
+    info = mm.video_info(vids).withColumn(
+        "doc_id", (F.col("media_id").cast("long") / 10).cast("long")
+    )
+    per_doc = info.groupBy("doc_id").agg(
+        F.collect_list(F.struct("width", "height")).alias("videos")
+    )
+    out = mm.resolution_keep(
+        per_doc, min_width=24, max_width=32, min_height=16,
+        any_or_all="any", out_col="keep_any",
+    )
+    out = mm.resolution_keep(
+        out, min_width=24, max_width=32, min_height=16,
+        any_or_all="all", out_col="keep_all",
+    )
+    return out.select("doc_id", "keep_any", "keep_all")
+
+
+def sql_video_resolution():
+    return """
+WITH v AS (
+  SELECT doc_id, doc_id * 10 + u.v AS vid
+  FROM documents, unnest(generate_series(0, (doc_id % 3)::INT)) AS u(v)
+),
+dims AS (
+  SELECT doc_id, 16 + 8 * (vid % 3) AS w, 16 + 8 * ((vid // 3) % 3) AS h
+  FROM v
+)
+SELECT doc_id,
+       bool_or(w >= 24 AND w <= 32 AND h >= 16) AS keep_any,
+       bool_and(w >= 24 AND w <= 32 AND h >= 16) AS keep_all
+FROM dims GROUP BY doc_id
+"""
+
+
 def sql_datatailor_select():
     return f"""
 SELECT g.vec_id, g.informativeness, g.uniqueness, g.representativeness,
@@ -1975,6 +2092,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                        ann_lsh_cells / kmeans_cells rows)
 # The round-5 media + DataTailor rows took the freed slots.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # round-5 net-new (in EXTRA because the driver dict is at its cap;
+    # both carry full closed-form value oracles)
+    "video_info": q_video_info,
+    "video_resolution": q_video_resolution,
     "rule_flags": q_rule_flags,
     "top_revenue_orders": q_top_revenue_orders,
     "embedding_norms": q_embedding_norms,
@@ -2039,6 +2160,8 @@ ORACLES: dict[str, str] = {
 }
 
 EXTRA_ORACLES: dict[str, str] = {
+    "video_info": sql_video_info(),
+    "video_resolution": sql_video_resolution(),
     "rule_flags": sql_rule_flags(),
     "top_revenue_orders": sql_top_revenue_orders(),
     "embedding_norms": sql_embedding_norms(),

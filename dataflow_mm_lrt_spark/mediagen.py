@@ -67,3 +67,24 @@ def synth_audio(seed: int, rate: int = AUDIO_RATE) -> tuple[np.ndarray, int]:
 def audio_bytes(seed: int) -> bytes:
     samples, rate = synth_audio(seed)
     return encode_wav(samples, rate)
+
+
+def video_params(seed: int) -> tuple[int, int, int, int]:
+    """(n_frames, width, height, delay_cs) as CLOSED-FORM functions of
+    the id — the video_info contract oracle recomputes these same
+    formulas in SQL, so the engine row is checked against arithmetic,
+    not against the codec that produced the bytes."""
+    s = int(seed)
+    return 2 + s % 5, 16 + 8 * (s % 3), 16 + 8 * ((s // 3) % 3), 4 + s % 4
+
+
+def synth_video(seed: int) -> bytes:
+    from .functions.gif import encode_gif
+
+    n_frames, w, h, delay_cs = video_params(seed)
+    s = int(seed)
+    frames = [
+        np.full((h, w, 3), (s * 37 + i * 40) % 256, dtype=np.uint8)
+        for i in range(n_frames)
+    ]
+    return encode_gif(frames, delay_cs=delay_cs)

@@ -47,9 +47,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .dedup import _spread
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     StringType,
@@ -420,3 +422,109 @@ def audio_chunk_rows(
             yield pd.DataFrame(rows, columns=[f.name for f in CHUNK_SCHEMA])
 
     return _spread(df).mapInPandas(run, schema=CHUNK_SCHEMA)
+
+
+VIDEO_INFO_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("success", BooleanType()),
+        StructField("num_frames", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("aspect_ratio", DoubleType()),
+        StructField("resolution", IntegerType()),
+        StructField("fps", DoubleType()),
+        StructField("duration_sec", DoubleType()),
+    ]
+)
+
+
+def video_info(df: DataFrame) -> DataFrame:
+    """Per-video metadata probe — the reference VideoInfoFilter contract
+    (video_info_filter.py:38-48 VideoInfo: success, num_frames, height,
+    width, aspect_ratio=w/h, resolution=w*h, fps, duration_sec), probed
+    from the REAL container instead of cv2: animated GIF carries
+    per-frame delays (centiseconds), so duration = Σdelay/100 and
+    fps = num_frames/duration (the reference's average-fps definition);
+    raw concatenated-P6 streams carry no timing → fps/duration NULL.
+    Undecodable bytes → success=false, all metrics NULL (the reference's
+    per-row error path, :139-160 safe_parallel handling)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import codecs
+        from ..functions.gif import iter_gif_frames
+
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(c or b"")
+                try:
+                    delays = None
+                    if buf[:6] in (b"GIF87a", b"GIF89a"):
+                        frames_delays = list(iter_gif_frames(buf))
+                        frames = [f for f, _ in frames_delays]
+                        delays = [d for _, d in frames_delays]
+                    else:
+                        frames = list(codecs.iter_video_frames(buf))
+                    if not frames:
+                        raise codecs.CodecUnavailable("no frames")
+                    h, w = frames[0].shape[:2]
+                    n = len(frames)
+                    if delays is not None and sum(delays) > 0:
+                        dur = sum(delays) / 100.0
+                        fps = n / dur
+                    else:
+                        dur, fps = None, None
+                    rows.append(
+                        (mid, True, n, h, w, w / h, w * h, fps, dur)
+                    )
+                except Exception:
+                    # CodecUnavailable or corrupt container internals —
+                    # both are the reference's per-row error path
+                    # (success=False), never a task failure
+                    rows.append(
+                        (mid, False, None, None, None, None, None, None, None)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_INFO_SCHEMA])
+
+    return _spread(df).mapInPandas(run, schema=VIDEO_INFO_SCHEMA)
+
+
+def resolution_keep(
+    df: DataFrame,
+    videos_col: str = "videos",
+    min_width: int = 1,
+    max_width: int | None = None,
+    min_height: int = 1,
+    max_height: int | None = None,
+    any_or_all: str = "any",
+    out_col: str = "passed_filter",
+) -> DataFrame:
+    """VideoResolutionFilter (video_resolution_filter.py:22-51, 112-155):
+    width/height range predicate with the ``any_or_all`` multi-video
+    retention strategy over a per-row ``array<struct<width,height>>``.
+    The reference's run() handles the single-video degenerate case (one
+    path per row, :133-138: non-positive dimensions → not kept); the
+    any/all strategy is its documented multi-video config (:26-51, the
+    data-juicer semantics it vendors). Pure Catalyst: ``exists`` /
+    ``forall`` over the array, no UDF. Empty or NULL video lists are
+    not kept under either strategy (a row with no probed video cannot
+    pass a resolution gate — matches the reference's error path)."""
+    if any_or_all not in ("any", "all"):
+        raise ValueError(f"Keep strategy [{any_or_all}] is not supported.")
+    max_w = F.lit(max_width) if max_width is not None else F.lit(2**31 - 1)
+    max_h = F.lit(max_height) if max_height is not None else F.lit(2**31 - 1)
+
+    def pred(v):
+        return (
+            (v["width"] > 0) & (v["height"] > 0)
+            & (v["width"] >= F.lit(min_width)) & (v["width"] <= max_w)
+            & (v["height"] >= F.lit(min_height)) & (v["height"] <= max_h)
+        )
+
+    quant = F.exists if any_or_all == "any" else F.forall
+    keep = F.when(
+        F.col(videos_col).isNotNull() & (F.size(videos_col) > 0),
+        quant(F.col(videos_col), pred),
+    ).otherwise(F.lit(False))
+    return df.withColumn(out_col, keep)

@@ -197,3 +197,81 @@ def test_video_metrics_compose_with_range_filter(spark):
         scored, {"motion": (None, 50.0), "missing_col": (0, 1)}
     ).collect()
     assert [r["media_id"] for r in kept] == ["calm"]
+
+
+# ------------------------------------------------------------- video_info
+
+
+def test_video_info_gif_timing_analytic(spark):
+    # 3 frames of 16x24 at 5 cs each: duration = 0.15 s, fps = 20
+    frames = [np.full((24, 16, 3), v, dtype=np.uint8) for v in (10, 20, 30)]
+    from dataflow_mm_lrt_spark.functions.gif import encode_gif
+
+    df = spark.createDataFrame(
+        [("v1", bytearray(encode_gif(frames, delay_cs=5)))],
+        "media_id string, content binary",
+    )
+    (r,) = mm.video_info(df).collect()
+    assert r["success"] is True
+    assert (r["num_frames"], r["width"], r["height"]) == (3, 16, 24)
+    assert r["aspect_ratio"] == pytest.approx(16 / 24)
+    assert r["resolution"] == 16 * 24
+    assert r["duration_sec"] == pytest.approx(0.15)
+    assert r["fps"] == pytest.approx(20.0)
+
+
+def test_video_info_raw_stream_has_no_timing(spark):
+    frames = [np.full((8, 8, 3), v, dtype=np.uint8) for v in (1, 2)]
+    raw = b"".join(codecs.encode_ppm(f) for f in frames)
+    df = spark.createDataFrame(
+        [("v1", bytearray(raw))], "media_id string, content binary"
+    )
+    (r,) = mm.video_info(df).collect()
+    assert r["success"] and r["num_frames"] == 2
+    assert r["fps"] is None and r["duration_sec"] is None
+
+
+def test_video_info_undecodable_is_honest(spark):
+    df = spark.createDataFrame(
+        [("bad", bytearray(b"GIF89a\x00corrupt"))],
+        "media_id string, content binary",
+    )
+    (r,) = mm.video_info(df).collect()
+    assert r["success"] is False and r["num_frames"] is None
+
+
+def test_resolution_keep_any_all_truth_table(spark):
+    rows = [
+        # one passing + one failing video
+        ("mixed", [(32, 32), (8, 8)]),
+        ("all_pass", [(32, 32), (40, 24)]),
+        ("none_pass", [(8, 8)]),
+        ("zero_dim", [(0, 32)]),
+        ("empty", []),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, videos array<struct<width:int,height:int>>"
+    )
+    got_any = {
+        r["media_id"]: r["passed_filter"]
+        for r in mm.resolution_keep(
+            df, min_width=16, min_height=16, any_or_all="any"
+        ).collect()
+    }
+    got_all = {
+        r["media_id"]: r["passed_filter"]
+        for r in mm.resolution_keep(
+            df, min_width=16, min_height=16, any_or_all="all"
+        ).collect()
+    }
+    assert got_any == {
+        "mixed": True, "all_pass": True, "none_pass": False,
+        "zero_dim": False, "empty": False, "null": False,
+    }
+    assert got_all == {
+        "mixed": False, "all_pass": True, "none_pass": False,
+        "zero_dim": False, "empty": False, "null": False,
+    }
+    with pytest.raises(ValueError):
+        mm.resolution_keep(df, any_or_all="most")

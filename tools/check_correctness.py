@@ -21,10 +21,23 @@ import hashlib
 import json
 import sys
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import duckdb
 import pandas as pd
 
-from dataflow_mm_lrt_spark.contract import ORACLES, QUERIES
+from dataflow_mm_lrt_spark.contract import (
+    EXTRA_ORACLES,
+    EXTRA_QUERIES,
+    ORACLES as _ORACLES,
+    QUERIES as _QUERIES,
+)
+
+# pre-round sanity covers EXTRA (non-driver-visible) entries too
+QUERIES = {**_QUERIES, **EXTRA_QUERIES}
+ORACLES = {**_ORACLES, **EXTRA_ORACLES}
 from dataflow_mm_lrt_spark.session import build_session
 
 TABLES = [
