@@ -674,6 +674,27 @@ def image_diversity_filter(
     )
 
 
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 48) -> DataFrame:
+    """Append a ``simhash`` column: per row, token md5 hashes folded by
+    a per-bit majority vote — pure Catalyst (shared by the batch
+    ``simhash_near_dup`` and the streaming trailing-corpus dedup, so
+    both paths hash identically). No repartition here: streaming frames
+    must stay exchange-free at this stage."""
+    toks = f"array_distinct(filter(split(lower({text_col}), '\\\\s+'), w -> w <> ''))"
+    h = md5_int_sql("spark", "w")
+    hashes = f"transform({toks}, w -> {h})"
+    sim_expr = (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) -> "
+        f"acc + IF(size(filter(_th, v -> (v >> i) % 2 = 1)) * 2 > size(_th), "
+        f"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
+    )
+    return (
+        df.withColumn("_th", F.expr(hashes))
+        .withColumn("simhash", F.expr(sim_expr))
+        .drop("_th")
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     text_col: str = "text",
@@ -688,18 +709,8 @@ def simhash_near_dup(
     (12-bit chunks — two dups within Hamming ≤3 share at least one
     chunk), verification via xor+popcount. Returns (id_col, is_dup).
     """
-    toks = f"array_distinct(filter(split(lower({text_col}), '\\\\s+'), w -> w <> ''))"
-    h = md5_int_sql("spark", "w")
-    # hash each token once; then one aggregate folds the majority vote of
-    # every bit position into the 48-bit simhash
-    hashes = f"transform({toks}, w -> {h})"
-    sim_expr = (
-        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) -> "
-        f"acc + IF(size(filter(th, v -> (v >> i) % 2 = 1)) * 2 > size(th), "
-        f"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))"
-    )
-    base = _spread(df).select(id_col, F.expr(hashes).alias("th")).select(
-        id_col, F.expr(sim_expr).alias("simhash")
+    base = with_simhash(_spread(df), text_col=text_col, bits=bits).select(
+        id_col, "simhash"
     )
     chunk = 12
     n_chunks = bits // chunk

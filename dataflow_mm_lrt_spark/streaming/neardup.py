@@ -1,0 +1,215 @@
+"""Streaming trailing-corpus near-dup — the reference's sequential
+corpus-gated dedup made streaming-native.
+
+The reference TextDuplicateFilter / ImageDuplicateFilter
+(image_diversity_filter.py:15-34) compare each arriving row against a
+TRAILING corpus of previously-kept rows (capped at ``max_corpus`` =
+10 000) and append only kept rows. The batch operators in
+operators/dedup.py generalize that to order-deterministic all-pairs
+marking; THIS is the faithful sequential form, keyed for scale:
+
+* the 48-bit SimHash is computed upstream in Catalyst
+  (operators/dedup.with_simhash — identical hashing to the batch path,
+  zero per-row Python);
+* a keyed ``applyInPandasWithState`` holds, per key, a ring of the last
+  ``max_corpus`` KEPT simhashes (int64 ndarray — the state is a few KB,
+  never rows);
+* within a micro-batch rows are processed in (ts, turn_idx) order —
+  deterministic for a fixed input stream + watermark progression, the
+  same contract as ordered_assembly;
+* a row whose min Hamming distance to the corpus is ≤ ``threshold`` is
+  marked ``keep=false`` and NOT appended (the reference's corpus only
+  ever contains uniques); kept rows append, oldest hashes fall off the
+  ring;
+* idle keys evict ``state_ttl`` past their last event time
+  (EventTimeTimeout) — the corpus cap bounds state size, the TTL bounds
+  key count.
+
+Keying: default ``conv_id`` (dedup within a conversation, aligned with
+the pipeline's bucket(conv_id) layout — no extra shuffle). A constant
+key reproduces the reference's literal global sequential scan but
+serializes the stream through one task; documented, not default.
+
+Output marks rather than drops: (key, turn_idx, ts, simhash, keep,
+min_hamming) — min_hamming is −1 when the corpus was empty.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..operators.dedup import with_simhash
+
+MAX_CORPUS = 10_000  # the reference's max_corpus (image_diversity_filter.py:15)
+
+NEARDUP_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("ts", TimestampType()),
+        StructField("simhash", LongType()),
+        StructField("keep", BooleanType()),
+        StructField("min_hamming", IntegerType()),
+    ]
+)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    v = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    v -= (v >> np.uint64(1)) & m1
+    v = (v & m2) + ((v >> np.uint64(2)) & m2)
+    v = (v + (v >> np.uint64(4))) & m4
+    return ((v * h01) >> np.uint64(56)).astype(np.int64)
+
+
+def trailing_mark(
+    hashes: np.ndarray,
+    corpus: np.ndarray,
+    threshold: int,
+    max_corpus: int = MAX_CORPUS,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sequential trailing-corpus marking over one ordered chunk:
+    returns (keep, min_hamming, new_corpus). Shared by the streaming
+    state function and the test oracle's per-key replay — the state
+    MACHINERY is what the stream≡batch tests cross-check."""
+    corpus_list = list(corpus.tolist())
+    keep = np.zeros(len(hashes), dtype=bool)
+    minh = np.full(len(hashes), -1, dtype=np.int64)
+    for i, h in enumerate(hashes):
+        if corpus_list:
+            cor = np.asarray(corpus_list[-max_corpus:], dtype=np.int64)
+            d = popcount64(cor ^ np.int64(h))
+            md = int(d.min())
+            minh[i] = md
+            if md <= threshold:
+                continue
+        keep[i] = True
+        corpus_list.append(int(h))
+    return keep, minh, np.asarray(corpus_list[-max_corpus:], dtype=np.int64)
+
+
+def make_neardup_func(
+    threshold: int, max_corpus: int, state_ttl_ms: int
+):
+    def mark(
+        key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.exists:
+            ring_b, last_ts_ms = state.get
+            ring = pickle.loads(ring_b)
+        else:
+            ring, last_ts_ms = np.empty(0, dtype=np.int64), 0
+
+        outs = []
+        for pdf in pdf_iter:
+            if state.hasTimedOut or len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            hs = pdf["simhash"].to_numpy(dtype=np.int64)
+            keep, minh, ring = trailing_mark(hs, ring, threshold, max_corpus)
+            last_ts_ms = max(
+                last_ts_ms,
+                int(
+                    pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64").max()
+                    // 1_000_000
+                ),
+            )
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": np.repeat(conv_id, len(pdf)),
+                        "turn_idx": pdf["turn_idx"].astype("int32").to_numpy(),
+                        "ts": pdf["ts"].to_numpy(),
+                        "simhash": hs,
+                        "keep": keep,
+                        "min_hamming": minh.astype("int32"),
+                    }
+                )
+            )
+
+        wm = state.getCurrentWatermarkMs()
+        if state.hasTimedOut and wm >= last_ts_ms + state_ttl_ms:
+            state.remove()
+        else:
+            state.update((pickle.dumps(ring), last_ts_ms))
+            state.setTimeoutTimestamp(max(last_ts_ms + state_ttl_ms, wm + 1))
+
+        for out in outs:
+            yield out
+
+    return mark
+
+
+def stream_simhash_dedup(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    text_col: str = "text",
+    bits: int = 48,
+    threshold: int = 3,
+    max_corpus: int = MAX_CORPUS,
+    watermark_delay: str = "10 minutes",
+    state_ttl_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Trailing-corpus SimHash near-dup over a (streaming or batch)
+    transcript frame with (key_col, turn_idx, ts, text). See module
+    docstring for semantics; batch frames run the identical group
+    function via applyInPandas-like batch groupBy (stream≡batch parity
+    is the test contract)."""
+    hashed = with_simhash(df, text_col=text_col, bits=bits).select(
+        F.col(key_col).alias("conv_id"), "turn_idx", "ts", "simhash"
+    )
+    fn = make_neardup_func(threshold, max_corpus, state_ttl_ms)
+    if df.isStreaming:
+        return (
+            hashed.withWatermark("ts", watermark_delay)
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=NEARDUP_SCHEMA,
+                stateStructType="ring binary, last_ts_ms long",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+    # batch twin: one ordered pass per key through the same chunk kernel
+    def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+        hs = pdf["simhash"].to_numpy(dtype=np.int64)
+        keep, minh, _ = trailing_mark(
+            hs, np.empty(0, dtype=np.int64), threshold, max_corpus
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].astype("int32").to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "simhash": hs,
+                "keep": keep,
+                "min_hamming": minh.astype("int32"),
+            }
+        )
+
+    return hashed.groupBy("conv_id").applyInPandas(run_batch, schema=NEARDUP_SCHEMA)

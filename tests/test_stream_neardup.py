@@ -1,0 +1,168 @@
+"""Streaming trailing-corpus SimHash near-dup (streaming/neardup.py) —
+the reference's sequential corpus-gated semantics
+(image_diversity_filter.py:15-34), keyed and bounded.
+
+Cross-checks: the SWAR popcount against an int-level oracle; the
+trailing-mark kernel against a from-definition python replay; the
+streaming path (multi-micro-batch, stateful) against the batch twin on
+the same input — the state save/restore across micro-batches is exactly
+what the parity test exercises; and the max_corpus bound re-admits a
+duplicate after its hash fell off the ring."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from dataflow_mm_lrt_spark.streaming import neardup
+
+
+def test_popcount64_matches_python():
+    rng = np.random.default_rng(5)
+    xs = rng.integers(-(2**63), 2**63 - 1, size=200, dtype=np.int64)
+    got = neardup.popcount64(xs)
+    want = [bin(int(x) & ((1 << 64) - 1)).count("1") for x in xs]
+    assert got.tolist() == want
+    assert neardup.popcount64(np.array([-1], dtype=np.int64)).tolist() == [64]
+    assert neardup.popcount64(np.array([0], dtype=np.int64)).tolist() == [0]
+
+
+def _replay(hashes, threshold, max_corpus):
+    """From-definition sequential replay (reference semantics)."""
+    corpus, keep, minh = [], [], []
+    for h in hashes:
+        ds = [bin((int(h) ^ int(c)) & ((1 << 64) - 1)).count("1") for c in corpus]
+        md = min(ds) if ds else -1
+        minh.append(md)
+        if ds and md <= threshold:
+            keep.append(False)
+        else:
+            keep.append(True)
+            corpus.append(int(h))
+            corpus = corpus[-max_corpus:]
+    return keep, minh
+
+
+@pytest.mark.parametrize("max_corpus", [3, 100])
+def test_trailing_mark_matches_replay(max_corpus):
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 2**48, size=40, dtype=np.int64)
+    # inject near-dups: flip ≤2 bits of earlier hashes
+    hs = list(base)
+    for i in (5, 11, 30):
+        hs.append(int(base[i]) ^ 0b101)
+    hs = np.asarray(hs, dtype=np.int64)
+    keep, minh, ring = neardup.trailing_mark(
+        hs, np.empty(0, dtype=np.int64), threshold=3, max_corpus=max_corpus
+    )
+    wk, wm = _replay(hs, 3, max_corpus)
+    assert keep.tolist() == wk
+    assert minh.tolist() == wm
+    assert len(ring) <= max_corpus
+
+
+def test_corpus_bound_readmits_after_eviction():
+    # pairwise Hamming ≥ 11 between the four distinct values
+    h = np.asarray([7, 0xFF00, 0xFF0000, 0xFF000000, 7], dtype=np.int64)
+    # max_corpus=3: by the time 7 re-arrives, the original 7 has been
+    # evicted (ring holds the three 0xFF.. values) → re-admitted as keep
+    keep, _, _ = neardup.trailing_mark(
+        h, np.empty(0, dtype=np.int64), threshold=3, max_corpus=3
+    )
+    assert keep.tolist() == [True, True, True, True, True]
+    # with a big ring the repeat is suppressed
+    keep2, _, _ = neardup.trailing_mark(
+        h, np.empty(0, dtype=np.int64), threshold=3, max_corpus=100
+    )
+    assert keep2.tolist() == [True, True, True, True, False]
+
+
+def _transcripts(n_convs=12, turns=20, dup_frac=0.4, seed=3):
+    rng = np.random.default_rng(seed)
+    words = ["alpha", "beta", "gamma", "delta", "epsi", "zeta", "eta", "theta"]
+    rows = []
+    t0 = np.datetime64("2026-01-01T00:00:00")
+    for c in range(n_convs):
+        texts = []
+        for i in range(turns):
+            if texts and rng.random() < dup_frac:
+                t = texts[rng.integers(0, len(texts))]  # near-exact repeat
+            else:
+                t = " ".join(rng.choice(words, size=rng.integers(3, 7)))
+            texts.append(t)
+            rows.append(
+                (
+                    f"c{c:03d}",
+                    i,
+                    "user" if i % 2 == 0 else "assistant",
+                    t,
+                    None,
+                    t0 + np.timedelta64(int(c * 1000 + i * 13), "s"),
+                )
+            )
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    df["turn_idx"] = df["turn_idx"].astype("int32")  # TRANSCRIPT_SCHEMA int
+    df["tool"] = df["tool"].astype(object)
+    df["ts"] = df["ts"].astype("datetime64[us]")  # Spark timestamp = micros
+    return df
+
+
+def test_stream_matches_batch_twin(spark, tmp_path):
+    tr = _transcripts()
+    src_dir = tmp_path / "in"
+    os.makedirs(src_dir)
+    t = pa.Table.from_pandas(tr, preserve_index=False)
+    # 3 files → 3 micro-batches with maxFilesPerTrigger=1: state must
+    # carry the ring across batches for parity to hold
+    chunk = (len(tr) + 2) // 3
+    for i in range(0, len(tr), chunk):
+        fp = str(src_dir / f"part-{i//chunk:05d}.parquet")
+        pq.write_table(t.slice(i, chunk), fp)
+        os.utime(fp, (1_700_000_000 + i // chunk,) * 2)
+
+    batch_df = spark.createDataFrame(tr)
+    want = (
+        neardup.stream_simhash_dedup(batch_df, threshold=3)
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+
+    from dataflow_mm_lrt_spark.streaming.source import TRANSCRIPT_SCHEMA
+
+    src = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    out = neardup.stream_simhash_dedup(src, threshold=3, watermark_delay="72 hours")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    # NOTE: files arrive in row order here (ts-ordered within each conv),
+    # so arrival order == event order and stream must equal batch exactly
+    assert len(got) == len(want) == len(tr)
+    assert got["keep"].tolist() == want["keep"].tolist()
+    assert got["simhash"].tolist() == want["simhash"].tolist()
+    assert got["min_hamming"].tolist() == want["min_hamming"].tolist()
+    # sanity: the dup injection actually produced suppressions
+    assert (~got["keep"]).sum() > 0
