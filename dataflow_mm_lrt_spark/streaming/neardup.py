@@ -58,16 +58,18 @@ from ..operators.dedup import with_simhash
 
 MAX_CORPUS = 10_000  # the reference's max_corpus (image_diversity_filter.py:15)
 
-NEARDUP_SCHEMA = StructType(
-    [
-        StructField("conv_id", StringType()),
-        StructField("turn_idx", IntegerType()),
-        StructField("ts", TimestampType()),
-        StructField("simhash", LongType()),
-        StructField("keep", BooleanType()),
-        StructField("min_hamming", IntegerType()),
-    ]
-)
+def neardup_schema(input_schema: StructType) -> StructType:
+    """Output = every input column (passthrough, so the stage can sit
+    mid-pipeline) + simhash/keep/min_hamming marks."""
+    fields = [f for f in input_schema.fields if f.name != "simhash"]
+    return StructType(
+        fields
+        + [
+            StructField("simhash", LongType()),
+            StructField("keep", BooleanType()),
+            StructField("min_hamming", IntegerType()),
+        ]
+    )
 
 
 def popcount64(x: np.ndarray) -> np.ndarray:
@@ -109,13 +111,32 @@ def trailing_mark(
     return keep, minh, np.asarray(corpus_list[-max_corpus:], dtype=np.int64)
 
 
+def _mark_chunk(
+    pdf: pd.DataFrame,
+    ring: np.ndarray,
+    threshold: int,
+    max_corpus: int,
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Order one chunk, mark it against the ring, return (marked pdf
+    with passthrough columns + marks, new ring)."""
+    pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    hs = pdf["simhash"].to_numpy(dtype=np.int64)
+    keep, minh, ring = trailing_mark(hs, ring, threshold, max_corpus)
+    out = pdf.copy()
+    out["simhash"] = hs
+    out["keep"] = keep
+    out["min_hamming"] = minh.astype("int32")
+    return out, ring
+
+
 def make_neardup_func(
     threshold: int, max_corpus: int, state_ttl_ms: int
 ):
     def mark(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        conv_id = key[0]
         if state.exists:
             ring_b, last_ts_ms = state.get
             ring = pickle.loads(ring_b)
@@ -126,28 +147,15 @@ def make_neardup_func(
         for pdf in pdf_iter:
             if state.hasTimedOut or len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-            hs = pdf["simhash"].to_numpy(dtype=np.int64)
-            keep, minh, ring = trailing_mark(hs, ring, threshold, max_corpus)
+            out, ring = _mark_chunk(pdf, ring, threshold, max_corpus)
             last_ts_ms = max(
                 last_ts_ms,
                 int(
-                    pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64").max()
+                    out["ts"].to_numpy(dtype="datetime64[ns]").astype("int64").max()
                     // 1_000_000
                 ),
             )
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "conv_id": np.repeat(conv_id, len(pdf)),
-                        "turn_idx": pdf["turn_idx"].astype("int32").to_numpy(),
-                        "ts": pdf["ts"].to_numpy(),
-                        "simhash": hs,
-                        "keep": keep,
-                        "min_hamming": minh.astype("int32"),
-                    }
-                )
-            )
+            outs.append(out)
 
         wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut and wm >= last_ts_ms + state_ttl_ms:
@@ -177,9 +185,10 @@ def stream_simhash_dedup(
     docstring for semantics; batch frames run the identical group
     function via applyInPandas-like batch groupBy (stream≡batch parity
     is the test contract)."""
-    hashed = with_simhash(df, text_col=text_col, bits=bits).select(
-        F.col(key_col).alias("conv_id"), "turn_idx", "ts", "simhash"
-    )
+    hashed = with_simhash(df, text_col=text_col, bits=bits)
+    if key_col != "conv_id":
+        hashed = hashed.withColumnRenamed(key_col, "conv_id")
+    schema = neardup_schema(hashed.schema)
     fn = make_neardup_func(threshold, max_corpus, state_ttl_ms)
     if df.isStreaming:
         return (
@@ -187,7 +196,7 @@ def stream_simhash_dedup(
             .groupBy("conv_id")
             .applyInPandasWithState(
                 fn,
-                outputStructType=NEARDUP_SCHEMA,
+                outputStructType=schema,
                 stateStructType="ring binary, last_ts_ms long",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
@@ -196,20 +205,9 @@ def stream_simhash_dedup(
 
     # batch twin: one ordered pass per key through the same chunk kernel
     def run_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
-        hs = pdf["simhash"].to_numpy(dtype=np.int64)
-        keep, minh, _ = trailing_mark(
-            hs, np.empty(0, dtype=np.int64), threshold, max_corpus
+        out, _ = _mark_chunk(
+            pdf, np.empty(0, dtype=np.int64), threshold, max_corpus
         )
-        return pd.DataFrame(
-            {
-                "conv_id": pdf["conv_id"].to_numpy(),
-                "turn_idx": pdf["turn_idx"].astype("int32").to_numpy(),
-                "ts": pdf["ts"].to_numpy(),
-                "simhash": hs,
-                "keep": keep,
-                "min_hamming": minh.astype("int32"),
-            }
-        )
+        return out
 
-    return hashed.groupBy("conv_id").applyInPandas(run_batch, schema=NEARDUP_SCHEMA)
+    return hashed.groupBy("conv_id").applyInPandas(run_batch, schema=schema)

@@ -51,6 +51,12 @@ class PipelineConfig:
     #: StreamingQueryListener (streaming/metrics.py) — off the batch
     #: critical path, restart-safe append trail
     record_metrics: bool = True
+    #: not-None adds the trailing-corpus SimHash near-dup gate
+    #: (streaming/neardup.py semantics — the reference's sequential
+    #: corpus-gated dedup, keyed by conv_id, bounded ring state) to the
+    #: assembly operator's emission path at this Hamming threshold.
+    #: None (default) keeps exact fingerprint dedup only.
+    neardup_threshold: int | None = None
 
 
 def clean_stages(turns: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -67,11 +73,15 @@ def clean_stages(turns: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 def build_pipeline(turns: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Full S1→S6 dataflow on a (streaming or batch) turns DataFrame."""
+    # the near-dup gate folds into ordered_assembly's state (Spark
+    # allows ONE applyInPandasWithState per streaming query); only the
+    # Catalyst simhash column is computed here when enabled
     return ordered_assembly(
         clean_stages(turns, cfg),
         watermark_delay=cfg.watermark_delay,
         order_slack_ms=cfg.order_slack_ms,
         state_ttl_ms=cfg.state_ttl_ms,
+        neardup_threshold=cfg.neardup_threshold,
     )
 
 

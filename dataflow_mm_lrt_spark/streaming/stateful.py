@@ -86,28 +86,40 @@ DEFAULT_STATE_TTL_MS = 6 * 3600 * 1000
 MAX_SEEN_FPS = 10_000
 
 
-def _empty_buf() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "turn_idx": pd.Series(dtype="int64"),
-            "ts_us": pd.Series(dtype="int64"),
-            "role": pd.Series(dtype=object),
-            "text": pd.Series(dtype=object),
-            "tool": pd.Series(dtype=object),
-            "fp": pd.Series(dtype=object),
-        }
-    )
+def _empty_buf(with_simhash: bool = False) -> pd.DataFrame:
+    cols = {
+        "turn_idx": pd.Series(dtype="int64"),
+        "ts_us": pd.Series(dtype="int64"),
+        "role": pd.Series(dtype=object),
+        "text": pd.Series(dtype=object),
+        "tool": pd.Series(dtype=object),
+        "fp": pd.Series(dtype=object),
+    }
+    if with_simhash:
+        cols["simhash"] = pd.Series(dtype="int64")
+    return pd.DataFrame(cols)
 
 
 def make_assembly_func(
-    order_slack_ms: int, state_ttl_ms: int, max_seen_fps: int = MAX_SEEN_FPS
+    order_slack_ms: int,
+    state_ttl_ms: int,
+    max_seen_fps: int = MAX_SEEN_FPS,
+    neardup_threshold: int | None = None,
+    neardup_max_corpus: int = MAX_SEEN_FPS,
 ):
+    nd = neardup_threshold is not None
+
     def assemble(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
+        ring = np.empty(0, dtype=np.int64)
         if state.exists:
-            buf_b, seen_b, emit_seq, last_ts_ms = state.get
+            if nd:
+                buf_b, seen_b, emit_seq, last_ts_ms, ring_b = state.get
+                ring = pickle.loads(ring_b)
+            else:
+                buf_b, seen_b, emit_seq, last_ts_ms = state.get
             buf: pd.DataFrame = pickle.loads(buf_b)
             loaded = pickle.loads(seen_b)
             # insertion-ordered dict = emission order (oldest first);
@@ -117,7 +129,7 @@ def make_assembly_func(
                 else dict.fromkeys(sorted(loaded))
             )
         else:
-            buf, seen, emit_seq, last_ts_ms = _empty_buf(), {}, 0, 0
+            buf, seen, emit_seq, last_ts_ms = _empty_buf(nd), {}, 0, 0
 
         wm = state.getCurrentWatermarkMs()
 
@@ -130,16 +142,17 @@ def make_assembly_func(
                 // 1_000,
                 index=pdf.index,
             )
-            fresh = pd.DataFrame(
-                {
-                    "turn_idx": pdf["turn_idx"].astype("int64"),
-                    "ts_us": ts_us,
-                    "role": pdf["role"],
-                    "text": pdf["text"],
-                    "tool": pdf["tool"],
-                    "fp": pdf["fp"],
-                }
-            )
+            cols = {
+                "turn_idx": pdf["turn_idx"].astype("int64"),
+                "ts_us": ts_us,
+                "role": pdf["role"],
+                "text": pdf["text"],
+                "tool": pdf["tool"],
+                "fp": pdf["fp"],
+            }
+            if nd:
+                cols["simhash"] = pdf["simhash"].astype("int64")
+            fresh = pd.DataFrame(cols)
             fresh = fresh[fresh["ts_us"] // 1000 >= wm]  # deterministic late drop
             if len(fresh):
                 chunks.append(fresh)
@@ -158,6 +171,19 @@ def make_assembly_func(
             # keep-first dedup: drop already-seen fps and intra-flush repeats
             keep = (~ready["fp"].isin(seen.keys())) & (~ready["fp"].duplicated())
             emitted = ready[keep.to_numpy()]
+            if nd and len(emitted):
+                # trailing-corpus near-dup gate (reference sequential
+                # semantics, image_diversity_filter.py:15-34): suppressed
+                # rows never enter the ring OR the seen set
+                from .neardup import trailing_mark
+
+                keep2, _, ring = trailing_mark(
+                    emitted["simhash"].to_numpy(dtype=np.int64),
+                    ring,
+                    neardup_threshold,
+                    neardup_max_corpus,
+                )
+                emitted = emitted[keep2]
             seen.update(dict.fromkeys(emitted["fp"].tolist()))
             # bounded state: deterministic oldest-first (emission-order)
             # eviction at the reference's max_corpus=10000 analogue
@@ -182,9 +208,10 @@ def make_assembly_func(
         if len(buf) == 0 and state.hasTimedOut and wm >= last_ts_ms + state_ttl_ms:
             state.remove()
         else:
-            state.update(
-                (pickle.dumps(buf), pickle.dumps(seen), emit_seq, last_ts_ms)
-            )
+            fields = [pickle.dumps(buf), pickle.dumps(seen), emit_seq, last_ts_ms]
+            if nd:
+                fields.append(pickle.dumps(ring))
+            state.update(tuple(fields))
             if len(buf):
                 nxt = int(buf["ts_us"].min() // 1000) + order_slack_ms
             else:
@@ -207,23 +234,46 @@ def ordered_assembly(
     watermark_delay: str = "10 minutes",
     order_slack_ms: int = DEFAULT_ORDER_SLACK_MS,
     state_ttl_ms: int = DEFAULT_STATE_TTL_MS,
+    neardup_threshold: int | None = None,
+    neardup_max_corpus: int = MAX_SEEN_FPS,
 ) -> DataFrame:
     """Streaming stage: watermarked turns → ordered, deduped turns.
 
     Input columns: conv_id, turn_idx, role, text, tool, ts; an ``fp``
     column is added here if missing. Output: ASSEMBLED_SCHEMA with
     ``emit_seq`` (per-conversation emission order).
+
+    ``neardup_threshold`` (optional) folds the trailing-corpus SimHash
+    near-dup gate (streaming/neardup.py semantics) into THIS operator's
+    state — Spark allows only one applyInPandasWithState per streaming
+    query, so mid-pipeline near-dup composes here rather than as a
+    second stateful stage. Emission-time order: exact fp keep-first,
+    then the Hamming ring gate; suppressed rows enter neither corpus.
     """
     if "fp" not in turns.columns:
         turns = with_fingerprint(turns)
-    func = make_assembly_func(order_slack_ms, state_ttl_ms)
+    if neardup_threshold is not None and "simhash" not in turns.columns:
+        from ..operators.dedup import with_simhash
+
+        turns = with_simhash(turns)
+    func = make_assembly_func(
+        order_slack_ms,
+        state_ttl_ms,
+        neardup_threshold=neardup_threshold,
+        neardup_max_corpus=neardup_max_corpus,
+    )
+    state_schema = (
+        STATE_SCHEMA
+        if neardup_threshold is None
+        else StructType(STATE_SCHEMA.fields + [StructField("ring", BinaryType())])
+    )
     return (
         turns.withWatermark("ts", watermark_delay)
         .groupBy("conv_id")
         .applyInPandasWithState(
             func,
             outputStructType=ASSEMBLED_SCHEMA,
-            stateStructType=STATE_SCHEMA,
+            stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )

@@ -101,7 +101,7 @@ def _transcripts(n_convs=12, turns=20, dup_frac=0.4, seed=3):
                     i,
                     "user" if i % 2 == 0 else "assistant",
                     t,
-                    None,
+                    "search" if i % 7 == 0 else None,
                     t0 + np.timedelta64(int(c * 1000 + i * 13), "s"),
                 )
             )
@@ -166,3 +166,49 @@ def test_stream_matches_batch_twin(spark, tmp_path):
     assert got["min_hamming"].tolist() == want["min_hamming"].tolist()
     # sanity: the dup injection actually produced suppressions
     assert (~got["keep"]).sum() > 0
+
+
+def test_pipeline_with_neardup_stage(spark, tmp_path):
+    """Two chained stateful stages (near-dup ring + ordered assembly):
+    the full pipeline with neardup_threshold set drains end-to-end and
+    emits strictly fewer turns than the exact-dedup-only pipeline, with
+    no near-duplicate pair among the emitted turns of any conversation."""
+    from dataflow_mm_lrt_spark.datagen import append_punctuation_file, write_dataset
+    from dataflow_mm_lrt_spark.streaming.run import PipelineConfig, run_pipeline
+
+    paths = write_dataset(str(tmp_path / "ds"), sf=0.001)
+    # far-future heartbeat so the availableNow drain's watermark passes
+    # all real data and the stateful stage flushes (the fixture pattern
+    # of every pipeline test; clean_stages keeps the system/heartbeat row)
+    tr_max = spark.read.parquet(paths["transcripts"]).agg({"ts": "max"}).first()[0]
+    append_punctuation_file(
+        paths["transcripts"], np.datetime64(tr_max) + np.timedelta64(30, "D")
+    )
+    base_cfg = PipelineConfig(watermark_delay="72 hours", max_files_per_trigger=2)
+    nd_cfg = PipelineConfig(
+        watermark_delay="72 hours", max_files_per_trigger=2, neardup_threshold=3
+    )
+    sink1, _ = run_pipeline(
+        spark, paths["transcripts"], str(tmp_path / "o1"), base_cfg
+    )
+    sink2, _ = run_pipeline(
+        spark, paths["transcripts"], str(tmp_path / "o2"), nd_cfg
+    )
+    base = spark.read.parquet(sink1.data_dir).toPandas()
+    nd = spark.read.parquet(sink2.data_dir).toPandas()
+    assert 0 < len(nd) < len(base)
+
+    # verify the near-dup invariant on a sample of conversations: among
+    # emitted turns of one conv, no later turn within Hamming ≤3 of an
+    # earlier one (in emission order)
+    from dataflow_mm_lrt_spark.operators.dedup import with_simhash
+    from dataflow_mm_lrt_spark.streaming.neardup import trailing_mark
+
+    sdf = with_simhash(spark.createDataFrame(nd[["conv_id", "text"]])).toPandas()
+    nd = nd.assign(simhash=sdf["simhash"].to_numpy())
+    for conv_id, grp in list(nd.groupby("conv_id"))[:20]:
+        hs = (
+            grp.sort_values("emit_seq")["simhash"].to_numpy(dtype=np.int64)
+        )
+        keep, _, _ = trailing_mark(hs, np.empty(0, dtype=np.int64), 3)
+        assert keep.all(), conv_id
