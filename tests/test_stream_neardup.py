@@ -169,10 +169,11 @@ def test_stream_matches_batch_twin(spark, tmp_path):
 
 
 def test_pipeline_with_neardup_stage(spark, tmp_path):
-    """Two chained stateful stages (near-dup ring + ordered assembly):
-    the full pipeline with neardup_threshold set drains end-to-end and
-    emits strictly fewer turns than the exact-dedup-only pipeline, with
-    no near-duplicate pair among the emitted turns of any conversation."""
+    """The near-dup gate folded into the assembly state (one stateful
+    op — Spark's per-query limit): the full pipeline with
+    neardup_threshold set drains end-to-end and emits strictly fewer
+    turns than the exact-dedup-only pipeline, with no near-duplicate
+    pair among the emitted turns of any conversation."""
     from dataflow_mm_lrt_spark.datagen import append_punctuation_file, write_dataset
     from dataflow_mm_lrt_spark.streaming.run import PipelineConfig, run_pipeline
 
@@ -212,3 +213,64 @@ def test_pipeline_with_neardup_stage(spark, tmp_path):
         )
         keep, _, _ = trailing_mark(hs, np.empty(0, dtype=np.int64), 3)
         assert keep.all(), conv_id
+
+
+def test_neardup_checkpoint_restart_resumes(spark, tmp_path):
+    """The ND state layout (5th ring field) must survive a checkpoint
+    restart: two half-drains against one checkpoint produce the same
+    emissions as one full drain on a fresh checkpoint."""
+    import shutil
+
+    from dataflow_mm_lrt_spark.datagen import append_punctuation_file
+    from dataflow_mm_lrt_spark.streaming.run import PipelineConfig, run_pipeline
+
+    tr = _transcripts(n_convs=8, turns=24, dup_frac=0.5, seed=11)
+    src_dir = tmp_path / "in_full"
+    os.makedirs(src_dir)
+    t = pa.Table.from_pandas(tr, preserve_index=False)
+    files = []
+    chunk = (len(tr) + 3) // 4
+    for i in range(0, len(tr), chunk):
+        fp = str(src_dir / f"part-{i//chunk:05d}.parquet")
+        pq.write_table(t.slice(i, chunk), fp)
+        os.utime(fp, (1_700_000_000 + i // chunk,) * 2)
+        files.append(os.path.basename(fp))
+    punct = append_punctuation_file(
+        str(src_dir), tr["ts"].max().to_datetime64() + np.timedelta64(30, "D")
+    )
+    cfg = PipelineConfig(
+        watermark_delay="60 seconds", max_files_per_trigger=1, neardup_threshold=3
+    )
+
+    # single full drain → reference output
+    sink_full, _ = run_pipeline(spark, str(src_dir), str(tmp_path / "o_full"), cfg)
+    want = (
+        spark.read.parquet(sink_full.data_dir)
+        .toPandas()
+        .sort_values(["conv_id", "emit_seq"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+
+    # two half-drains against ONE checkpoint
+    half_dir = tmp_path / "in_half"
+    os.makedirs(half_dir)
+    for f in files[:2]:
+        shutil.copy2(src_dir / f, half_dir / f)
+    out_dir = str(tmp_path / "o_half")
+    sink1, _ = run_pipeline(spark, str(half_dir), out_dir, cfg)
+    n1 = spark.read.parquet(sink1.data_dir).count()
+    for f in files[2:]:
+        shutil.copy2(src_dir / f, half_dir / f)
+    shutil.copy2(punct, half_dir / os.path.basename(punct))
+    sink2, _ = run_pipeline(spark, str(half_dir), out_dir, cfg)
+    got = (
+        spark.read.parquet(sink2.data_dir)
+        .toPandas()
+        .sort_values(["conv_id", "emit_seq"])
+        .reset_index(drop=True)
+    )
+    assert n1 < len(got)  # phase 1 emitted a strict subset
+    assert len(got) == len(want)
+    for col in ["conv_id", "turn_idx", "text", "emit_seq"]:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
