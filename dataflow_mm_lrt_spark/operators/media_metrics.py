@@ -133,6 +133,41 @@ SCENE_SCHEMA = StructType(
 )
 
 
+def _scene_spans(
+    lumas: list[np.ndarray],
+    threshold: float,
+    min_frames: int,
+    max_frames: int | None,
+) -> list[tuple[int, int]]:
+    """Content-change segmentation spans over a luma sequence (shared by
+    video_scene_rows and video_clip_rows): cut where mean |Δluma| >
+    threshold, merge sub-min scenes into their predecessor (a short
+    FIRST scene merges forward), split over-max scenes at fixed
+    intervals."""
+    n = len(lumas)
+    cuts = [0] + [
+        i + 1
+        for i, (a, b) in enumerate(zip(lumas, lumas[1:]))
+        if float(np.abs(b - a).mean()) > threshold
+    ] + [n]
+    merged: list[list[int]] = []
+    for s, e in zip(cuts, cuts[1:]):
+        if merged and e - s < min_frames:
+            merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    if len(merged) > 1 and merged[0][1] - merged[0][0] < min_frames:
+        merged[1][0] = merged[0][0]
+        merged.pop(0)
+    final: list[tuple[int, int]] = []
+    for s, e in merged:
+        if max_frames and e - s > max_frames:
+            final += [(x, min(x + max_frames, e)) for x in range(s, e, max_frames)]
+        else:
+            final.append((s, e))
+    return final
+
+
 def video_scene_rows(
     df: DataFrame,
     threshold: float = 30.0,
@@ -155,36 +190,9 @@ def video_scene_rows(
                 lumas = [
                     _luma(f) for f in codecs.iter_video_frames(bytes(c or b""))
                 ]
-                n = len(lumas)
-                if n == 0:
+                if not lumas:
                     raise codecs.CodecUnavailable("empty video stream")
-                cuts = [0] + [
-                    i + 1
-                    for i, (a, b) in enumerate(zip(lumas, lumas[1:]))
-                    if float(np.abs(b - a).mean()) > threshold
-                ] + [n]
-                bounds = list(zip(cuts, cuts[1:]))
-                # min-length: merge short scenes into the previous one
-                merged: list[list[int]] = []
-                for s, e in bounds:
-                    if merged and e - s < min_frames:
-                        merged[-1][1] = e
-                    else:
-                        merged.append([s, e])
-                # a short FIRST scene merges forward instead
-                if len(merged) > 1 and merged[0][1] - merged[0][0] < min_frames:
-                    merged[1][0] = merged[0][0]
-                    merged.pop(0)
-                # max-length: fixed-interval split
-                final: list[tuple[int, int]] = []
-                for s, e in merged:
-                    if max_frames and e - s > max_frames:
-                        final += [
-                            (x, min(x + max_frames, e))
-                            for x in range(s, e, max_frames)
-                        ]
-                    else:
-                        final.append((s, e))
+                final = _scene_spans(lumas, threshold, min_frames, max_frames)
                 for i, (s, e) in enumerate(final):
                     rows.append((mid, i, s, e, e - s))
             yield pd.DataFrame(rows, columns=[f.name for f in SCENE_SCHEMA])
@@ -528,3 +536,67 @@ def resolution_keep(
         quant(F.col(videos_col), pred),
     ).otherwise(F.lit(False))
     return df.withColumn(out_col, keep)
+
+
+CLIP_ROWS_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("scene_idx", IntegerType()),
+        StructField("start_frame", IntegerType()),
+        StructField("end_frame", IntegerType()),  # exclusive
+        StructField("n_frames", IntegerType()),
+        StructField("content", BinaryType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+
+def video_clip_rows(
+    df: DataFrame,
+    threshold: float = 30.0,
+    min_frames: int = 1,
+    max_frames: int | None = None,
+) -> DataFrame:
+    """VideoSceneClipGenerator / VideoClipGenerator shape
+    (video_clip_generator.py:245-330: flatten scene list, CUT each
+    span's frames into a standalone clip file) over the real codecs:
+    scenes from the shared content-change segmentation, each span's
+    frames re-encoded as a standalone animated GIF (the source GIF's
+    frame delay is preserved; >256-color spans fall back to a
+    concatenated-P6 stream, ``codec`` says which). 1→N rows emit within
+    the partition — no shuffle; clip bytes round-trip through
+    iter_video_frames, so downstream media operators consume clips
+    exactly like source videos."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import codecs
+        from ..functions.gif import encode_gif, iter_gif_frames
+
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(c or b"")
+                delay_cs = 4
+                if buf[:6] in (b"GIF87a", b"GIF89a"):
+                    pairs = list(iter_gif_frames(buf))
+                    frames = [f for f, _ in pairs]
+                    delays = [d for _, d in pairs]
+                    if delays and max(delays) > 0:
+                        delay_cs = max(delays[0], 1)
+                else:
+                    frames = list(codecs.iter_video_frames(buf))
+                if not frames:
+                    raise codecs.CodecUnavailable("empty video stream")
+                lumas = [_luma(f) for f in frames]
+                spans = _scene_spans(lumas, threshold, min_frames, max_frames)
+                for i, (s, e) in enumerate(spans):
+                    clip = frames[s:e]
+                    try:
+                        blob, codec = encode_gif(clip, delay_cs=delay_cs), "gif"
+                    except ValueError:
+                        blob = b"".join(codecs.encode_ppm(f) for f in clip)
+                        codec = "ppm"
+                    rows.append((mid, i, s, e, e - s, bytearray(blob), codec))
+            yield pd.DataFrame(rows, columns=[f.name for f in CLIP_ROWS_SCHEMA])
+
+    return _spread(df).mapInPandas(run, schema=CLIP_ROWS_SCHEMA)

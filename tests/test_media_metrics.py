@@ -275,3 +275,53 @@ def test_resolution_keep_any_all_truth_table(spark):
     }
     with pytest.raises(ValueError):
         mm.resolution_keep(df, any_or_all="most")
+
+
+# --------------------------------------------------------- video_clip_rows
+
+
+def test_video_clip_rows_cuts_real_clips(spark):
+    # 5x level 20 then 4x level 200 → one cut at frame 5; each clip is a
+    # standalone GIF whose decoded frames equal the source's span
+    frames = _gray_frames([20] * 5 + [200] * 4)
+    df = _video_df(spark, frames)
+    rows = sorted(
+        mm.video_clip_rows(df, threshold=30.0).collect(),
+        key=lambda r: r["scene_idx"],
+    )
+    assert [(r["scene_idx"], r["start_frame"], r["end_frame"]) for r in rows] \
+        == [(0, 0, 5), (1, 5, 9)]
+    for r in rows:
+        assert r["codec"] == "gif"
+        clip_frames = list(codecs.iter_video_frames(bytes(r["content"])))
+        assert len(clip_frames) == r["n_frames"]
+        src_span = frames[r["start_frame"]: r["end_frame"]]
+        for got, want in zip(clip_frames, src_span):
+            assert np.array_equal(got, want)
+
+
+def test_video_clip_rows_preserves_gif_timing(spark):
+    from dataflow_mm_lrt_spark.functions.gif import encode_gif, iter_gif_frames
+
+    frames = _gray_frames([10, 10, 10])
+    df = spark.createDataFrame(
+        [("v1", "video", bytearray(encode_gif(frames, delay_cs=7)))],
+        "media_id string, kind string, content binary",
+    )
+    (r,) = mm.video_clip_rows(df, threshold=30.0).collect()
+    delays = [d for _, d in iter_gif_frames(bytes(r["content"]))]
+    assert delays == [7, 7, 7]
+
+
+def test_video_clip_rows_max_split_and_chainable(spark):
+    # alternating frames cut everywhere; min_frames=2 merges all, then
+    # max_frames=3 splits → clips feed video_metrics unchanged
+    df = _video_df(spark, _gray_frames([0, 255] * 4))
+    clips = mm.video_clip_rows(df, threshold=30.0, min_frames=2, max_frames=3)
+    spans = [(r["start_frame"], r["end_frame"]) for r in
+             sorted(clips.collect(), key=lambda r: r["scene_idx"])]
+    assert spans == [(0, 3), (3, 6), (6, 8)]
+    downstream = mm.video_metrics(
+        clips.selectExpr("concat(media_id, '#', scene_idx) AS media_id", "content")
+    ).collect()
+    assert {r["n_frames"] for r in downstream} == {3, 2}
