@@ -181,3 +181,31 @@ def test_minhash_lsh_plan_shape(spark):
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in final
     assert "CartesianProduct" not in final
+
+
+def test_spread_is_metadata_only_and_idempotent(spark):
+    """Regression for the AQE materialization bug: _spread must never
+    touch df.rdd (which executes all upstream stages when the plan has
+    an exchange), must be a no-op on already-spread plans, and must
+    no-op when the scan has >= parallelism input files."""
+    import ast
+    import inspect
+    import textwrap
+
+    from dataflow_mm_lrt_spark.operators.dedup import _spread
+
+    tree = ast.parse(textwrap.dedent(inspect.getsource(_spread)))
+    attrs = {n.attr for n in ast.walk(tree) if isinstance(n, ast.Attribute)}
+    assert "rdd" not in attrs  # code-level check; the docstring may explain it
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    once = _spread(docs)
+    twice = _spread(once)
+    plan_once = once._jdf.queryExecution().logical().toString()
+    plan_twice = twice._jdf.queryExecution().logical().toString()
+    assert plan_once.count("Repartition") == 1
+    assert plan_twice.count("Repartition") == 1  # idempotent
+
+    # a derived plan (projection over the spread) also no-ops
+    derived = _spread(once.select("doc_id"))
+    assert derived._jdf.queryExecution().logical().toString().count("Repartition") == 1
