@@ -209,3 +209,15 @@ def test_spread_is_metadata_only_and_idempotent(spark):
     # a derived plan (projection over the spread) also no-ops
     derived = _spread(once.select("doc_id"))
     assert derived._jdf.queryExecution().logical().toString().count("Repartition") == 1
+
+
+def test_phash_hamming_plan_shape(spark):
+    """The pHash candidate join must be a chunk-key equi-join (pigeonhole
+    buckets) with no cross/nested-loop product — the same discipline the
+    minhash plan test enforces (a plan flip to broadcast would recompute
+    the decode+hash pipeline into the build side)."""
+    df = QUERIES["dedup_phash"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "chunk_idx" in plan and "chunk_val" in plan
