@@ -31,6 +31,22 @@ def _fp(t: str) -> str:
     return hashlib.md5(normalize(t).encode("utf-8")).hexdigest()
 
 
+def _simhash_py(text: str, bits: int = 48) -> int:
+    """Python twin of operators/dedup.with_simhash (distinct whitespace
+    tokens of lower(text), 60-bit md5-prefix hash per token, per-bit
+    strict-majority vote) — validated token-for-token against the
+    Catalyst expression in tests/test_stream_neardup.py."""
+    import re
+
+    toks = list(dict.fromkeys(w for w in re.split(r"\s+", text.lower()) if w))
+    hs = [int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16) for w in toks]
+    sim = 0
+    for i in range(bits):
+        if sum((h >> i) & 1 for h in hs) * 2 > len(hs):
+            sim |= 1 << i
+    return sim
+
+
 def clean_filter(
     pdf: pd.DataFrame,
     roles=("system", "human", "assistant"),
@@ -65,6 +81,8 @@ def microbatch_reference(
     order_slack_ms: int,
     roles=("system", "human", "assistant"),
     keep_tools=("search", "python", "browser"),
+    neardup_threshold: int | None = None,
+    neardup_max_corpus: int = 10_000,
 ) -> pd.DataFrame:
     """Simulate the engine's micro-batch execution over an ordered file
     sequence: per batch b the watermark is max-event-time(batches < b) −
@@ -75,6 +93,7 @@ def microbatch_reference(
 
     wm = 0
     buffers: dict[str, list] = {}
+    rings: dict[str, list[int]] = {}  # trailing near-dup corpora (ND mode)
     # insertion-ordered dicts mirror the engine's bounded seen-set
     # (streaming/stateful.py MAX_SEEN_FPS, oldest-emission eviction)
     seen: dict[str, dict] = {}
@@ -97,10 +116,21 @@ def microbatch_reference(
             # eviction mid-flush would re-admit a repeat whenever a
             # single flush holds > MAX_SEEN_FPS distinct fingerprints
             flushed: dict[str, None] = {}
+            ring = rings.setdefault(conv_id, [])
             for r in ready:
                 fp = _fp(r[3])
                 if fp in s or fp in flushed:
                     continue
+                if neardup_threshold is not None:
+                    # engine order (stateful.py): exact fp gate first, then
+                    # the trailing Hamming ring; a suppressed row enters
+                    # NEITHER corpus (seen nor ring)
+                    h = _simhash_py(r[3])
+                    ds = [(h ^ c).bit_count() for c in ring]
+                    if ds and min(ds) <= neardup_threshold:
+                        continue
+                    ring.append(h)
+                    del ring[:-neardup_max_corpus]
                 flushed[fp] = None
                 emitted_rows.append(
                     (conv_id, r[0], r[2], r[3], r[4], r[1], emit_seq.get(conv_id, 0))

@@ -274,3 +274,87 @@ def test_neardup_checkpoint_restart_resumes(spark, tmp_path):
     assert len(got) == len(want)
     for col in ["conv_id", "turn_idx", "text", "emit_seq"]:
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_simhash_python_twin_matches_catalyst(spark):
+    from dataflow_mm_lrt_spark.operators.dedup import with_simhash
+    from dataflow_mm_lrt_spark.oracle.pandas_pipeline import _simhash_py
+
+    texts = [
+        "hello world foo",
+        "bar  baz\tqux",
+        "single",
+        "",
+        "Mixed CASE tokens mixed case TOKENS",
+        "a b c d e f g h i j",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {r["i"]: r["simhash"] for r in with_simhash(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _simhash_py(t), t
+
+
+def test_nd_pipeline_matches_microbatch_oracle(spark, tmp_path):
+    """Strict engine≡oracle parity for the near-dup pipeline: the
+    pandas micro-batch simulator extended with the same ring gate must
+    reproduce the streaming emissions row-for-row (same files, same
+    watermark progression)."""
+    from dataflow_mm_lrt_spark.datagen import append_punctuation_file
+    from dataflow_mm_lrt_spark.oracle.pandas_pipeline import microbatch_reference
+    from dataflow_mm_lrt_spark.streaming.run import PipelineConfig, run_pipeline
+
+    tr = _transcripts(n_convs=10, turns=25, dup_frac=0.5, seed=29)
+    tr["role"] = np.where(np.arange(len(tr)) % 2 == 0, "human", "assistant")
+    src_dir = tmp_path / "in"
+    os.makedirs(src_dir)
+    t = pa.Table.from_pandas(tr, preserve_index=False)
+    file_pdfs = []
+    chunk = (len(tr) + 3) // 4
+    for i in range(0, len(tr), chunk):
+        fp = str(src_dir / f"part-{i//chunk:05d}.parquet")
+        pq.write_table(t.slice(i, chunk), fp)
+        os.utime(fp, (1_700_000_000 + i // chunk,) * 2)
+        file_pdfs.append(tr.iloc[i: i + chunk].reset_index(drop=True))
+    punct_ts = tr["ts"].max().to_datetime64() + np.timedelta64(30, "D")
+    append_punctuation_file(str(src_dir), punct_ts)
+    punct = pd.DataFrame(
+        {
+            "conv_id": ["__punctuation__"],
+            "turn_idx": np.array([0], dtype=np.int32),
+            "role": ["system"],
+            "text": ["heartbeat"],
+            "tool": pd.Series([None], dtype=object),
+            "ts": pd.Series([pd.Timestamp(punct_ts)]),
+        }
+    )
+    file_pdfs.append(punct)
+
+    cfg = PipelineConfig(
+        watermark_delay="30 minutes",
+        order_slack_ms=120_000,
+        max_files_per_trigger=1,
+        neardup_threshold=3,
+    )
+    sink, _ = run_pipeline(spark, str(src_dir), str(tmp_path / "out"), cfg)
+    got = sink.read_committed(spark).toPandas()
+    got = got[got.conv_id != "__punctuation__"]
+    got = got.sort_values(["conv_id", "emit_seq"]).reset_index(drop=True)
+
+    exp = microbatch_reference(
+        file_pdfs,
+        watermark_delay_ms=30 * 60 * 1000,
+        order_slack_ms=120_000,
+        neardup_threshold=3,
+    )
+    exp = exp[exp.conv_id != "__punctuation__"]
+    exp = exp.sort_values(["conv_id", "emit_seq"]).reset_index(drop=True)
+
+    assert len(got) > 0
+    assert len(got) == len(exp), f"{len(got)} vs {len(exp)}"
+    for col in ["conv_id", "turn_idx", "role", "text", "emit_seq"]:
+        assert (got[col].to_numpy() == exp[col].to_numpy()).all(), col
+    # the ND gate actually suppressed something vs exact-only
+    exp_exact = microbatch_reference(
+        file_pdfs, watermark_delay_ms=30 * 60 * 1000, order_slack_ms=120_000
+    )
+    assert len(exp) < len(exp_exact[exp_exact.conv_id != "__punctuation__"])
