@@ -233,9 +233,23 @@ def decode_image(buf: bytes) -> np.ndarray:
     path for the rest (progressive JPEG, WebP, TIFF...)."""
     kind = sniff(buf)
     if kind == "ppm":
-        return decode_ppm(buf)[0]
+        try:
+            return decode_ppm(buf)[0]
+        except CodecUnavailable:
+            raise
+        except Exception as exc:
+            # Truncated/corrupt bytes behind a valid magic must surface
+            # as the one catchable type the per-row error paths gate on
+            # (decode_failed = true), never a raw ValueError/struct.error
+            # that would fail the whole Spark task.
+            raise CodecUnavailable(f"corrupt PPM: {exc}") from exc
     if kind == "bmp":
-        return decode_bmp(buf)
+        try:
+            return decode_bmp(buf)
+        except CodecUnavailable:
+            raise
+        except Exception as exc:
+            raise CodecUnavailable(f"corrupt BMP: {exc}") from exc
     if kind == "png":
         from .png import decode_png
 

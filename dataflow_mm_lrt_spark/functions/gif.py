@@ -240,14 +240,24 @@ def decode_gif_first_frame(buf: bytes) -> np.ndarray:
 
 def encode_gif(
     frames: list[np.ndarray] | np.ndarray,
-    delay_cs: int = 4,
+    delay_cs: int | list[int] = 4,
 ) -> bytes:
     """Encode one or more (H, W, 3) uint8 frames that together use at
     most 256 distinct colors. No quantization — this is a test/sink
-    codec, not an image-quality tool."""
+    codec, not an image-quality tool. ``delay_cs`` is one delay for
+    every frame, or a per-frame list (len == len(frames)) so re-encoded
+    clips can preserve a variable-delay source's timing."""
     if isinstance(frames, np.ndarray) and frames.ndim == 3:
         frames = [frames]
     frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if isinstance(delay_cs, int):
+        delays = [delay_cs] * len(frames)
+    else:
+        delays = [int(d) for d in delay_cs]
+        if len(delays) != len(frames):
+            raise ValueError(
+                f"{len(delays)} delays for {len(frames)} frames"
+            )
     h, w = frames[0].shape[:2]
     stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
     palette, inverse = np.unique(stacked, axis=0, return_inverse=True)
@@ -266,12 +276,12 @@ def encode_gif(
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     offset = 0
     min_code = max(2, bits)
-    for f in frames:
+    for f, fd in zip(frames, delays):
         n = f.shape[0] * f.shape[1]
         idx = inverse[offset : offset + n].astype(np.uint8)
         offset += n
         if len(frames) > 1:
-            out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+            out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, fd, 0) + b"\x00"
         out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
         out += bytes([min_code])
         payload = lzw_encode(idx.tobytes(), min_code)

@@ -29,6 +29,47 @@ from ..functions.hashing import md5_int_sql, minhash_coeffs, perm_hash_sql, shin
 from ..functions.normalize import fingerprint_sql
 
 
+_REPARTITION_NODES = {"Repartition", "RepartitionByExpression"}
+# Unary operators that preserve their child's partitioning — the only
+# nodes the governing-repartition walk may descend through. Anything
+# else (Aggregate, Join, Window, Sort, Union...) establishes its own
+# distribution, so a Repartition below it is irrelevant here.
+_PARTITION_PRESERVING = {
+    "Project",
+    "Filter",
+    "SubqueryAlias",
+    "MapInPandas",
+    "PythonMapInArrow",
+    "MapPartitions",
+    "SerializeFromObject",
+    "DeserializeToObject",
+    "TypedFilter",
+    "WithColumns",
+    "Generate",  # explode: row-local 1→N, partitioning unchanged
+}
+
+
+def _has_governing_repartition(df: DataFrame) -> bool:
+    """True iff a Repartition node reachable from the plan root through
+    partition-preserving unary operators still determines this frame's
+    distribution (metadata-only: plan-node classes, never ``.rdd``)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        while True:
+            name = node.getClass().getSimpleName().removesuffix("$")
+            if name in _REPARTITION_NODES:
+                return True
+            if name not in _PARTITION_PRESERVING:
+                return False
+            children = node.children()
+            if children.size() != 1:
+                return False
+            node = children.apply(0)
+    except Exception:
+        # py4j surface drift: fall back to "unknown" = don't suppress
+        return False
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """CPU-heavy hashing over a small file count would otherwise run in
     as few tasks as there are input splits — spread to the cluster's
@@ -39,15 +80,22 @@ def _spread(df: DataFrame) -> DataFrame:
     query stage as a separate job (measured 4-8× on the media rows,
     whose inputs carry a repartition + Arrow synth stage), so the
     partition probe must stay metadata-only. Two cheap checks instead:
-    an existing Repartition node in the logical plan makes this a no-op
-    (idempotence — operators may spread inputs the caller already
-    spread), and the scan's file count approximates the split count
-    (files ≥ cores ⇒ splits ≥ cores ⇒ no-op; at bench scale the inputs
-    are 1-row-group files, where files < cores is exactly the starved
-    case this exists to fix)."""
+    an existing Repartition node still GOVERNING the frame's
+    distribution makes this a no-op (idempotence — operators may spread
+    inputs the caller already spread), and the scan's file count
+    approximates the split count (files ≥ cores ⇒ splits ≥ cores ⇒
+    no-op; at bench scale the inputs are 1-row-group files, where
+    files < cores is exactly the starved case this exists to fix).
+
+    "Governing" is decided by walking analyzed-plan NODES from the root
+    through partition-preserving unary operators only (Project/Filter/
+    alias/mapInPandas...): a Repartition buried below an Aggregate/Join/
+    Window no longer determines the distribution and must not suppress
+    spreading, and a column or relation whose NAME contains
+    "Repartition" never matches (both were failure modes of the old
+    whole-plan substring test)."""
     p = df.sparkSession.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().logical().toString()
-    if "Repartition" in plan:
+    if _has_governing_repartition(df):
         return df
     try:
         n_files = len(df.inputFiles())
@@ -220,7 +268,12 @@ def ngram_jaccard(
             ).alias("ordered_sh")
         )
     )
-    prefixes = (
+    # persisted: the prefix index feeds BOTH sides of the candidate
+    # self-join, and its pipeline contains collect_list — a
+    # nondeterministic expression that defeats exchange-reuse
+    # canonicalization, so without the cache the planner computes the
+    # df-count + ordered-prefix aggregations twice (one per side).
+    prefixes = scoped_persist(
         base.select(id_col, "n_sh")
         .join(ordered, id_col)
         .select(
@@ -234,10 +287,18 @@ def ngram_jaccard(
     # prunes size-mismatched candidates inside the equi-join, before
     # they reach the (heavier) verification join. Exact, zero recall
     # loss, same as the prefix filter's provenance (Xiao et al. WWW'08).
+    # merge-join hint, same rationale as minhash_lsh above: without it
+    # the planner broadcasts one side of the self-join and RE-COMPUTES
+    # the whole prefix pipeline (df-count agg → ordered agg → prefix
+    # explode) to build the broadcast table — and the prefix index is
+    # corpus-sized at real scale, so a broadcast is wrong there anyway.
+    # With identical shuffles on the shingle key the second side becomes
+    # a ReusedExchange (asserted in tests/test_plans.py::
+    # test_ngram_jaccard_plan_shape).
     l, r = prefixes.alias("l"), prefixes.alias("r")
     cand = (
         l.join(
-            r,
+            r.hint("merge"),
             on=[
                 F.col("l.shingle") == F.col("r.shingle"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
@@ -489,7 +550,17 @@ def with_phash(
     Arrow-batched ``mapInPandas`` — decode dominates, parallelism comes
     from input splits, no shuffle. Undecodable bytes yield a NULL hash
     and ``decode_failed = true`` (the reference treats those rows as
-    not-kept, image_diversity_filter.py:44-53)."""
+    not-kept, image_diversity_filter.py:44-53).
+
+    ``hash_size`` must be 8: the downstream pigeonhole layout
+    (hamming_mark_dups) packs exactly 64 bits, and pandas' Int64 cannot
+    carry more — anything else would fail at runtime or silently
+    degenerate the candidate join toward all-pairs."""
+    if hash_size != 8:
+        raise ValueError(
+            f"hash_size must be 8 (64-bit pHash); got {hash_size} — the "
+            "pigeonhole chunk layout and Int64 transport are 64-bit"
+        )
     import pandas as pd
 
     id_type = df.schema[id_col].dataType
@@ -511,10 +582,14 @@ def with_phash(
         for pdf in batches:
             hashes, failed = [], []
             for c in pdf[content_col]:
+                # decode_image wraps corrupt-bytes errors as
+                # CodecUnavailable, but the per-row error contract must
+                # hold for ANY failure (degenerate shapes through
+                # phash64 included) — a task death here fails the job.
                 try:
                     hashes.append(phash64(codecs.decode_image(bytes(c or b"")), hash_size))
                     failed.append(False)
-                except codecs.CodecUnavailable:
+                except Exception:
                     hashes.append(None)
                     failed.append(True)
             yield pd.DataFrame(

@@ -561,12 +561,16 @@ def video_clip_rows(
     (video_clip_generator.py:245-330: flatten scene list, CUT each
     span's frames into a standalone clip file) over the real codecs:
     scenes from the shared content-change segmentation, each span's
-    frames re-encoded as a standalone animated GIF (the source GIF's
-    frame delay is preserved; >256-color spans fall back to a
+    frames re-encoded as a standalone animated GIF (each span carries
+    its OWN per-frame delays from the source GIF, so variable-delay
+    timing survives the cut; >256-color spans fall back to a
     concatenated-P6 stream, ``codec`` says which). 1→N rows emit within
     the partition — no shuffle; clip bytes round-trip through
     iter_video_frames, so downstream media operators consume clips
-    exactly like source videos."""
+    exactly like source videos. Undecodable or empty inputs emit ZERO
+    rows for that media_id (the reference's safe skip — a per-row
+    failure must never kill the task, matching video_info's error
+    path)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions import codecs
@@ -575,28 +579,38 @@ def video_clip_rows(
         for pdf in batches:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                buf = bytes(c or b"")
-                delay_cs = 4
-                if buf[:6] in (b"GIF87a", b"GIF89a"):
-                    pairs = list(iter_gif_frames(buf))
-                    frames = [f for f, _ in pairs]
-                    delays = [d for _, d in pairs]
-                    if delays and max(delays) > 0:
-                        delay_cs = max(delays[0], 1)
-                else:
-                    frames = list(codecs.iter_video_frames(buf))
-                if not frames:
-                    raise codecs.CodecUnavailable("empty video stream")
-                lumas = [_luma(f) for f in frames]
-                spans = _scene_spans(lumas, threshold, min_frames, max_frames)
-                for i, (s, e) in enumerate(spans):
-                    clip = frames[s:e]
-                    try:
-                        blob, codec = encode_gif(clip, delay_cs=delay_cs), "gif"
-                    except ValueError:
-                        blob = b"".join(codecs.encode_ppm(f) for f in clip)
-                        codec = "ppm"
-                    rows.append((mid, i, s, e, e - s, bytearray(blob), codec))
+                try:
+                    buf = bytes(c or b"")
+                    if buf[:6] in (b"GIF87a", b"GIF89a"):
+                        pairs = list(iter_gif_frames(buf))
+                        frames = [f for f, _ in pairs]
+                        # 0-delay frames render at the de-facto minimum
+                        # of 1 cs, per frame
+                        delays = [max(d, 1) for _, d in pairs]
+                    else:
+                        frames = list(codecs.iter_video_frames(buf))
+                        delays = [4] * len(frames)
+                    if not frames:
+                        continue
+                    lumas = [_luma(f) for f in frames]
+                    spans = _scene_spans(
+                        lumas, threshold, min_frames, max_frames
+                    )
+                    for i, (s, e) in enumerate(spans):
+                        clip = frames[s:e]
+                        try:
+                            blob = encode_gif(clip, delay_cs=delays[s:e])
+                            codec = "gif"
+                        except ValueError:
+                            blob = b"".join(
+                                codecs.encode_ppm(f) for f in clip
+                            )
+                            codec = "ppm"
+                        rows.append(
+                            (mid, i, s, e, e - s, bytearray(blob), codec)
+                        )
+                except Exception:
+                    continue  # undecodable input: skip, never fail the task
             yield pd.DataFrame(rows, columns=[f.name for f in CLIP_ROWS_SCHEMA])
 
     return _spread(df).mapInPandas(run, schema=CLIP_ROWS_SCHEMA)

@@ -85,6 +85,30 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     return ((v * h01) >> np.uint64(56)).astype(np.int64)
 
 
+def _popcount64_min(v: np.ndarray, t: np.ndarray) -> int:
+    """min(popcount(v)) with the SWAR steps done in place on ``v``
+    (destroyed), using ``t`` as the only scratch — no per-call
+    allocations, so the sequential per-row loop in trailing_mark stays
+    memcpy-speed instead of re-boxing the corpus each row."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    np.right_shift(v, np.uint64(1), out=t)
+    np.bitwise_and(t, m1, out=t)
+    np.subtract(v, t, out=v)
+    np.right_shift(v, np.uint64(2), out=t)
+    np.bitwise_and(t, m2, out=t)
+    np.bitwise_and(v, m2, out=v)
+    np.add(v, t, out=v)
+    np.right_shift(v, np.uint64(4), out=t)
+    np.add(v, t, out=v)
+    np.bitwise_and(v, m4, out=v)
+    np.multiply(v, h01, out=v)
+    np.right_shift(v, np.uint64(56), out=v)
+    return int(v.min())
+
+
 def trailing_mark(
     hashes: np.ndarray,
     corpus: np.ndarray,
@@ -94,21 +118,40 @@ def trailing_mark(
     """Sequential trailing-corpus marking over one ordered chunk:
     returns (keep, min_hamming, new_corpus). Shared by the streaming
     state function and the test oracle's per-key replay — the state
-    MACHINERY is what the stream≡batch tests cross-check."""
-    corpus_list = list(corpus.tolist())
-    keep = np.zeros(len(hashes), dtype=bool)
-    minh = np.full(len(hashes), -1, dtype=np.int64)
-    for i, h in enumerate(hashes):
-        if corpus_list:
-            cor = np.asarray(corpus_list[-max_corpus:], dtype=np.int64)
-            d = popcount64(cor ^ np.int64(h))
-            md = int(d.min())
+    MACHINERY is what the stream≡batch tests cross-check.
+
+    The corpus lives in a preallocated append-only buffer whose active
+    window is the trailing ``max_corpus`` entries ending at the write
+    cursor — per row the kernel takes a slice VIEW, xors into a reused
+    scratch, and popcounts in place (zero per-row allocations; the old
+    list→ndarray re-materialization was O(rows × corpus) boxing)."""
+    hashes = np.ascontiguousarray(hashes, dtype=np.int64)
+    n = len(hashes)
+    tail = np.asarray(corpus, dtype=np.int64)[-max_corpus:]
+    buf = np.empty(len(tail) + n, dtype=np.uint64)
+    if len(tail):
+        buf[: len(tail)] = tail.view(np.uint64)
+    write = len(tail)
+    scratch = np.empty(len(buf), dtype=np.uint64)
+    scratch2 = np.empty(len(buf), dtype=np.uint64)
+    hu = hashes.view(np.uint64)
+    keep = np.zeros(n, dtype=bool)
+    minh = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        lo = max(0, write - max_corpus)
+        if write > lo:
+            k = write - lo
+            v = scratch[:k]
+            np.bitwise_xor(buf[lo:write], hu[i], out=v)
+            md = _popcount64_min(v, scratch2[:k])
             minh[i] = md
             if md <= threshold:
                 continue
         keep[i] = True
-        corpus_list.append(int(h))
-    return keep, minh, np.asarray(corpus_list[-max_corpus:], dtype=np.int64)
+        buf[write] = hu[i]
+        write += 1
+    new_corpus = buf[max(0, write - max_corpus) : write].view(np.int64).copy()
+    return keep, minh, new_corpus
 
 
 def _mark_chunk(
@@ -143,11 +186,23 @@ def make_neardup_func(
         else:
             ring, last_ts_ms = np.empty(0, dtype=np.int64), 0
 
-        outs = []
-        for pdf in pdf_iter:
-            if state.hasTimedOut or len(pdf) == 0:
-                continue
-            out, ring = _mark_chunk(pdf, ring, threshold, max_corpus)
+        # Arrow delivers one key's micro-batch rows as MULTIPLE chunk
+        # DataFrames (split at arrow.maxRecordsPerBatch) in arbitrary
+        # intra-group order — the documented (ts, turn_idx) ordering
+        # only holds if we accumulate ALL chunks and sort ONCE before a
+        # single marking pass (per-chunk sorting would break stream≡
+        # batch parity for any key with >~10k rows in one micro-batch).
+        chunks = [] if state.hasTimedOut else [
+            pdf for pdf in pdf_iter if len(pdf) > 0
+        ]
+        out = None
+        if chunks:
+            whole = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            out, ring = _mark_chunk(whole, ring, threshold, max_corpus)
             last_ts_ms = max(
                 last_ts_ms,
                 int(
@@ -155,7 +210,6 @@ def make_neardup_func(
                     // 1_000_000
                 ),
             )
-            outs.append(out)
 
         wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut and wm >= last_ts_ms + state_ttl_ms:
@@ -164,7 +218,7 @@ def make_neardup_func(
             state.update((pickle.dumps(ring), last_ts_ms))
             state.setTimeoutTimestamp(max(last_ts_ms + state_ttl_ms, wm + 1))
 
-        for out in outs:
+        if out is not None:
             yield out
 
     return mark

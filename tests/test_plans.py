@@ -221,3 +221,48 @@ def test_phash_hamming_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "chunk_idx" in plan and "chunk_val" in plan
+
+
+def test_ngram_jaccard_plan_shape(spark):
+    """PPJoin discipline, pinned (VERDICT r5 item 2 — excludes plan
+    drift as the cause of a bench swing, like minhash's test): the
+    candidate self-join must be an equi-join on the shingle key
+    carrying BOTH length-filter conditions, with no cross/nested-loop
+    product, and the prefix index must be computed ONCE and read from
+    cache on both sides (a broadcast flip would rebuild the df-count +
+    ordered-prefix pipeline into the build side AND be corpus-sized at
+    real scale; the merge hint + persisted index forbid it). The
+    collect_list in the prefix pipeline is nondeterministic, which
+    defeats ReusedExchange canonicalization — so unlike minhash's test
+    the single-computation guarantee here is the persisted index, and
+    the assertion targets the InMemoryTableScan on both join sides."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    # the candidate join: sort-merge on the shingle key, with the PPJoin
+    # length filters (n_sh comparisons) and the keep-first ordering
+    # (doc_id <) riding along as join conditions
+    smj = [
+        ln
+        for ln in final.splitlines()
+        if "SortMergeJoin [shingle" in ln and "n_sh" in ln and "<" in ln
+    ]
+    assert smj, "candidate join is no longer a shingle-key SortMergeJoin"
+    # both sides read the persisted prefix index (columns doc_id, n_sh,
+    # shingle), never a recomputed aggregation pipeline
+    prefix_scans = [
+        ln
+        for ln in final.splitlines()
+        if "InMemoryTableScan" in ln and "n_sh" in ln and "shingle#" in ln
+    ]
+    assert len(prefix_scans) >= 2, final[:2000]
+
+    from dataflow_mm_lrt_spark import cache
+
+    cache.release_all()
