@@ -11,6 +11,25 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 The streaming section drains a deterministically generated transcript
 dataset (seed 42, sized to the sf) through the full S1→S6→sink pipeline
 and reports sustained turns/sec — the BASELINE.json headline metric.
+
+STEAL-AWARE (round 6): this host suffers violent hypervisor CPU steal
+(the same query measured 4.8 s and 52 s minutes apart on unchanged code
+in round 5 while /proc/stat steal swung 10%→18%), so wall-clock alone is
+not a valid cross-round comparator. Every timed window now records
+/proc/stat deltas:
+
+* ``steal_pct`` — share of the window's jiffies the hypervisor withheld;
+* ``cpu_core_sec`` — user+nice+system+irq jiffies actually burned by the
+  VM (core-seconds). This is the steal-immune comparator: steal pauses
+  the clock but cannot inflate work done. It deliberately uses /proc/stat
+  rather than Spark's executorCpuTime because half this engine's hot
+  path runs in Arrow/pandas PYTHON workers, which executorCpuTime does
+  not count (JVM task threads only).
+
+The streaming drain runs median-of-3 and reports ``turns_per_cpu_core_sec``
+(steal-immune) alongside wall-based turns/sec; a ``flags`` list self-marks
+the artifact when steal contaminated a window (per-query steal > 5% or
+drain spread > 1.5×) so no future round needs hand adjudication.
 """
 
 from __future__ import annotations
@@ -18,10 +37,41 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_HZ = os.sysconf("SC_CLK_TCK")
+
+
+def _proc_stat() -> tuple[int, int, int]:
+    """(busy, steal, total) jiffies from the aggregate cpu line.
+    busy = user+nice+system+irq+softirq — work this VM actually did;
+    steal — time the hypervisor withheld a runnable vCPU."""
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    busy = v[0] + v[1] + v[2] + v[5] + v[6]
+    steal = v[7] if len(v) > 7 else 0
+    return busy, steal, busy + v[3] + v[4] + steal
+
+
+class _Window:
+    """One timed window: wall seconds + steal share + CPU core-seconds."""
+
+    def __init__(self) -> None:
+        self.b0, self.s0, self.t0 = _proc_stat()
+        self.w0 = time.time()
+
+    def stop(self) -> dict:
+        b1, s1, t1 = _proc_stat()
+        dt = max(t1 - self.t0, 1)
+        return {
+            "sec": round(time.time() - self.w0, 3),
+            "steal_pct": round(100.0 * (s1 - self.s0) / dt, 2),
+            "cpu_core_sec": round((b1 - self.b0) / _HZ, 2),
+        }
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -154,16 +204,28 @@ def main() -> None:
     from dataflow_mm_lrt_spark import cache
 
     per_query: dict[str, float] = {}
+    query_metrics: dict[str, dict] = {}
+    flags: list[str] = []
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = None
+        runs = []
         for _ in range(2):  # min of two runs: exclude one-time JIT compile
             df = fn(spark, SF_DIR)
-            t0 = time.time()
+            w = _Window()
             df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        per_query[name] = round(best, 3)
+            runs.append(w.stop())
+        best = min(runs, key=lambda r: r["sec"])
+        per_query[name] = best["sec"]
+        query_metrics[name] = {
+            "runs_sec": [r["sec"] for r in runs],
+            "steal_pct": [r["steal_pct"] for r in runs],
+            "cpu_core_sec": [r["cpu_core_sec"] for r in runs],
+        }
+        if best["steal_pct"] > 5.0:
+            flags.append(
+                f"{name}: best run under {best['steal_pct']}% steal — "
+                "wall-clock suspect, compare cpu_core_sec"
+            )
         cache.release_all()  # plan-reuse caches are per-query scoped
 
     # streaming throughput (headline metric): full-drain of the shuffled
@@ -188,15 +250,61 @@ def main() -> None:
     shutil.rmtree(warm_out, ignore_errors=True)
     shutil.rmtree(warm_in, ignore_errors=True)
 
-    out_dir = f"/tmp/spark_graft_bench_out_{os.getpid()}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
-    sink, _ = run_pipeline(spark, in_dir, out_dir, cfg)
-    stream_sec = time.time() - t0
-    emitted = sum(m["n_rows"] for m in sink.manifests())
-    shutil.rmtree(out_dir, ignore_errors=True)
+    def drain(pipeline_cfg: PipelineConfig, tag: str, n_runs: int) -> dict:
+        """Median-of-n drain of the full dataset. Each run is an
+        independent availableNow drain (fresh checkpoint/sink); the
+        median wall + the steal-immune cpu-core-sec comparator are
+        reported with every raw run kept for audit."""
+        from dataflow_mm_lrt_spark.streaming import metrics as smetrics
 
-    total = round(sum(per_query.values()) + stream_sec, 3)
+        runs, emitted, state = [], None, {}
+        for i in range(n_runs):
+            out_dir = f"/tmp/spark_graft_bench_out_{os.getpid()}_{tag}_{i}"
+            shutil.rmtree(out_dir, ignore_errors=True)
+            w = _Window()
+            sink, _ = run_pipeline(spark, in_dir, out_dir, pipeline_cfg)
+            r = w.stop()
+            emitted = sum(m["n_rows"] for m in sink.manifests())
+            r["turns_per_sec"] = round(n_turns / r["sec"], 1)
+            runs.append(r)
+            summ = smetrics.summarize(os.path.join(out_dir, "metrics"))
+            state = {
+                "state_rows_peak": summ.get("state_rows_peak", 0),
+                "state_bytes_peak": summ.get("state_bytes_peak", 0),
+                "batches": summ.get("batches", 0),
+            }
+            shutil.rmtree(out_dir, ignore_errors=True)
+        med = statistics.median(r["sec"] for r in runs)
+        med_cpu = statistics.median(r["cpu_core_sec"] for r in runs)
+        spread = max(r["sec"] for r in runs) / max(min(r["sec"] for r in runs), 1e-9)
+        if spread > 1.5:
+            flags.append(
+                f"drain[{tag}]: {spread:.2f}x wall spread across {n_runs} "
+                "runs — steal-contaminated window, trust turns_per_cpu_core_sec"
+            )
+        return {
+            "turns_in": n_turns,
+            "turns_out": emitted,
+            "sec": round(med, 3),
+            "turns_per_sec": round(n_turns / med, 1),
+            "cpu_core_sec": round(med_cpu, 2),
+            "turns_per_cpu_core_sec": round(n_turns / med_cpu, 1),
+            "runs": runs,
+            **state,
+        }
+
+    streaming = drain(cfg, "exact", 3)
+    # the near-dup gate (trailing-corpus SimHash folded into assembly
+    # state) is stateful and previously unbenched — its cost at this sf
+    # is a committed number, not a surprise (VERDICT r5 ask #5)
+    nd_cfg = PipelineConfig(
+        watermark_delay="72 hours",
+        max_files_per_trigger=None,
+        neardup_threshold=3,
+    )
+    streaming_neardup = drain(nd_cfg, "neardup", 3)
+
+    total = round(sum(per_query.values()) + streaming["sec"], 3)
     print(
         json.dumps(
             {
@@ -204,15 +312,23 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "query_metrics": query_metrics,
                 "sf": sf,
-                "streaming": {
-                    "turns_in": n_turns,
-                    "turns_out": emitted,
-                    "sec": round(stream_sec, 3),
-                    "turns_per_sec": round(n_turns / stream_sec, 1),
-                },
+                "streaming": streaming,
+                "streaming_neardup": streaming_neardup,
                 "ann_recall": ann_recall(spark, SF_DIR),
                 "cpus": int(CPUS),
+                "clk_tck": _HZ,
+                "flags": flags,
+                "methodology": (
+                    "min-of-2 per query, median-of-3 drains; steal_pct = "
+                    "/proc/stat steal share per window; cpu_core_sec = "
+                    "user+nice+system+irq jiffies/HZ (steal-immune, counts "
+                    "Python workers, unlike executorCpuTime); flags mark "
+                    "steal-contaminated windows. /proc/stat is system-wide: "
+                    "cpu_core_sec assumes bench is the only load (true for "
+                    "driver runs; concurrent processes inflate it)"
+                ),
             }
         )
     )

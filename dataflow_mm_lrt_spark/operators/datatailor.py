@@ -210,31 +210,120 @@ def exact_ranks(
     ).drop("_band")
 
 
-def _cluster_uniqueness(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
-    """Per-cluster informativeness-weighted distance sums (eq. 4), one
-    shuffle on the cluster id, GEMM distances inside the Arrow group."""
+def _cluster_uniqueness(
+    df: DataFrame, id_col: str, emb_col: str, max_members: int = 4096
+) -> DataFrame:
+    """Per-cluster informativeness-weighted distance sums (eq. 4).
+
+    Skew guard (VERDICT r5 ask #6): the O(m²) pair-distance GEMM is the
+    reference's own cost (datatailor_filter.py:240-287), but a
+    degenerate clustering (one giant cluster) must not concentrate the
+    whole corpus in one Arrow task. Each cluster is hash-split into
+    ``ceil(m / max_members)`` sub-chunks and the weighted sum
+    decomposes over column blocks::
+
+        u_i = Σ_j w_j·D_ij = (Σ_chunks Σ_{j∈chunk} inf_j·D_ij) / Σinf
+
+    so a (row-chunk × col-chunk) cogroup computes bounded partial sums
+    (≤ max_members² doubles ≈ 128 MB per task) and a final groupBy(id)
+    adds them. Clusters within the bound take the n_chunks == 1
+    degenerate path — one group per cluster, exactly the unchunked
+    plan. The empty-informativeness fallback (w uniform) is decided at
+    the end from the cluster totals, identically to the reference."""
     id_type = df.schema[id_col].dataType
-    schema = StructType(
-        [StructField(id_col, id_type), StructField("uniqueness", DoubleType())]
+    sizes = df.groupBy("_cell").agg(
+        F.count("*").alias("_cnt"),
+        F.sum("informativeness").alias("_inf_sum"),
+    )
+    # ≤ max_clusters rows (cluster count), always broadcastable
+    sized = df.select(id_col, "_cell", emb_col, "informativeness").join(
+        F.broadcast(sizes), on="_cell"
+    )
+    nch = F.greatest(
+        F.lit(1), F.ceil(F.col("_cnt") / F.lit(max_members))
+    ).cast("int")
+    chunked = sized.withColumn("_nch", nch).withColumn(
+        "_chunk", F.pmod(F.xxhash64(F.col(id_col)), F.col("_nch")).cast("int")
+    )
+    rng = F.sequence(F.lit(0), F.col("_nch") - 1)
+    # one tagged union instead of a cogroup: the analyzer rejects a
+    # cogroup of two same-lineage frames as an ambiguous self-join, and
+    # the data volume is identical (cogroup ships both sides per key
+    # too). _side 0 = row block (distances TO these ids are emitted),
+    # _side 1 = column block (these ids contribute distance mass).
+    left = chunked.select(
+        "_cell",
+        F.col("_chunk").alias("_lchunk"),
+        F.explode(rng).alias("_rchunk"),
+        id_col,
+        emb_col,
+        "informativeness",
+        F.lit(0).alias("_side"),
+    )
+    right = chunked.select(
+        "_cell",
+        F.explode(rng).alias("_lchunk"),
+        F.col("_chunk").alias("_rchunk"),
+        id_col,
+        emb_col,
+        "informativeness",
+        F.lit(1).alias("_side"),
+    )
+    partial_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("_pw", DoubleType()),
+            StructField("_pu", DoubleType()),
+        ]
     )
 
-    def run(pdf):
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        m = len(pdf)
-        if m <= 1:
-            return pd.DataFrame({id_col: pdf[id_col], "uniqueness": np.zeros(m)})
-        X = np.asarray([list(v) for v in pdf[emb_col]], dtype=np.float64)
-        inf = pdf["informativeness"].to_numpy(dtype=np.float64)
-        w = inf / inf.sum() if inf.sum() > 0 else np.full(m, 1.0 / m)
-        sq = (X * X).sum(axis=1)
-        d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (X @ X.T), 0.0)
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["_side"] == 0]
+        rpdf = pdf[pdf["_side"] == 1]
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(
+                {id_col: lpdf[id_col][:0], "_pw": [], "_pu": []}
+            )
+        # id-sorted on both sides: float summation order is a function
+        # of the data alone, never the partitioning
+        lpdf = lpdf.sort_values(id_col).reset_index(drop=True)
+        rpdf = rpdf.sort_values(id_col).reset_index(drop=True)
+        X = np.asarray([list(v) for v in lpdf[emb_col]], dtype=np.float64)
+        Y = np.asarray([list(v) for v in rpdf[emb_col]], dtype=np.float64)
+        inf_r = rpdf["informativeness"].to_numpy(dtype=np.float64)
+        sqx = (X * X).sum(axis=1)
+        sqy = (Y * Y).sum(axis=1)
+        d2 = np.maximum(sqx[:, None] + sqy[None, :] - 2.0 * (X @ Y.T), 0.0)
         D = np.sqrt(d2)
-        np.fill_diagonal(D, 0.0)
-        return pd.DataFrame({id_col: pdf[id_col], "uniqueness": D @ w})
+        # the reference zeroes the diagonal (self-distance)
+        same = (
+            lpdf[id_col].to_numpy()[:, None] == rpdf[id_col].to_numpy()[None, :]
+        )
+        D[same] = 0.0
+        return pd.DataFrame(
+            {id_col: lpdf[id_col], "_pw": D @ inf_r, "_pu": D.sum(axis=1)}
+        )
 
-    return df.select(id_col, "_cell", emb_col, "informativeness").groupBy(
-        "_cell"
-    ).applyInPandas(run, schema=schema)
+    partial = (
+        left.unionByName(right)
+        .groupBy("_cell", "_lchunk", "_rchunk")
+        .applyInPandas(run, schema=partial_schema)
+    )
+    agg = partial.groupBy(id_col).agg(
+        F.sum("_pw").alias("_sw"), F.sum("_pu").alias("_su")
+    )
+    return (
+        df.select(id_col, "_cell")
+        .join(F.broadcast(sizes), on="_cell")
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.when(F.col("_cnt") <= 1, F.lit(0.0))
+            .when(F.col("_inf_sum") > 0, F.col("_sw") / F.col("_inf_sum"))
+            .otherwise(F.col("_su") / F.col("_cnt"))
+            .alias("uniqueness"),
+        )
+    )
 
 
 def datatailor_select(
