@@ -2048,7 +2048,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_filter": q_range_filter,
     "prompt_template_fill": q_prompt_template,
     "knn_brute_cosine": q_knn_brute,
-    "ann_ivf_cosine": q_ann_ivf,
     "knn_uniqueness_filter": q_knn_uniqueness,
     "functional_refiner": q_functional_refiner,
     "keep_top_fraction": q_keep_top_fraction,
@@ -2069,12 +2068,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_distinct": q_kmv_distinct,
     "ann_lsh_cells": q_ann_lsh_cells,
     "ann_kmeans_multiprobe": q_ann_kmeans_multiprobe,
-    "kmeans_cells": q_kmeans_cells,
     # round-5 additions
     "dedup_phash": q_dedup_phash,
     "image_diversity": q_image_diversity,
     "media_metrics": q_media_metrics,
     "datatailor_select": q_datatailor_select,
+    # round-6 promotions (VERDICT r5 ask #7): driver-visible green beats
+    # in-repo value checks for audit weight; the freed slots come from
+    # kmeans_cells (same quantizer machinery as ann_kmeans_multiprobe)
+    # and ann_ivf_cosine (the generic IVF path ann_lsh_cells runs)
+    "video_info": q_video_info,
+    "video_resolution": q_video_resolution,
 }
 
 # The driver's correctness report holds at most 50 rows (r03 recorded
@@ -2092,10 +2096,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #                        ann_lsh_cells / kmeans_cells rows)
 # The round-5 media + DataTailor rows took the freed slots.
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # round-5 net-new (in EXTRA because the driver dict is at its cap;
-    # both carry full closed-form value oracles)
-    "video_info": q_video_info,
-    "video_resolution": q_video_resolution,
+    # round-6 demotions (slots freed for video_info/video_resolution):
+    #   kmeans_cells   — ann_kmeans_multiprobe exercises the same
+    #                    kmeans_fit + assign_cells machinery
+    #   ann_ivf_cosine — the generic IVF path; ann_lsh_cells runs it
+    #                    with an LSH quantizer, driver-visible
+    "kmeans_cells": q_kmeans_cells,
+    "ann_ivf_cosine": q_ann_ivf,
     "rule_flags": q_rule_flags,
     "top_revenue_orders": q_top_revenue_orders,
     "embedding_norms": q_embedding_norms,
@@ -2128,7 +2135,6 @@ ORACLES: dict[str, str] = {
     "range_filter": sql_range_filter(),
     "prompt_template_fill": sql_prompt_template(),
     "knn_brute_cosine": sql_knn_brute(),
-    "ann_ivf_cosine": sql_ann_ivf(),
     "knn_uniqueness_filter": sql_knn_uniqueness(),
     "functional_refiner": sql_functional_refiner(),
     "keep_top_fraction": sql_keep_top_fraction(),
@@ -2149,19 +2155,21 @@ ORACLES: dict[str, str] = {
     "kmv_distinct": sql_kmv_distinct(),
     "ann_lsh_cells": sql_ann_lsh_cells(),
     "ann_kmeans_multiprobe": sql_ann_kmeans_multiprobe(),
-    # kmeans_cells: n_iters is a fixed constant, so the Lloyd recursion
-    # unrolls into straight-line SQL — a full value oracle after all
-    "kmeans_cells": sql_kmeans_cells(),
     # round-5 additions (golden-backed, see tools/gen_media_goldens.py)
     "dedup_phash": sql_dedup_phash(),
     "image_diversity": sql_image_diversity(),
     "media_metrics": sql_media_metrics(),
     "datatailor_select": sql_datatailor_select(),
+    # round-6 promotions (closed-form SQL twins, no codec in the oracle)
+    "video_info": sql_video_info(),
+    "video_resolution": sql_video_resolution(),
 }
 
 EXTRA_ORACLES: dict[str, str] = {
-    "video_info": sql_video_info(),
-    "video_resolution": sql_video_resolution(),
+    # kmeans_cells: n_iters is a fixed constant, so the Lloyd recursion
+    # unrolls into straight-line SQL — a full value oracle after all
+    "kmeans_cells": sql_kmeans_cells(),
+    "ann_ivf_cosine": sql_ann_ivf(),
     "rule_flags": sql_rule_flags(),
     "top_revenue_orders": sql_top_revenue_orders(),
     "embedding_norms": sql_embedding_norms(),

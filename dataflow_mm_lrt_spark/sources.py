@@ -64,8 +64,8 @@ def load_table(
                 "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages "
                 "(sandbox note: jar absent by design; ManifestSink provides the "
                 "commit-protocol-compatible local stand-in. Re-verified "
-                "2026-08-17: no iceberg jar under /opt/spark/jars or ~/.ivy2, "
-                "pip download and repo1.maven.org both unreachable — "
+                "2026-08-18: no iceberg jar under /opt/spark/jars or ~/.ivy2, "
+                "filesystem sweep empty, repo1.maven.org DNS-unreachable — "
                 "environment debt, not code debt)"
             )
         return spark.read.format("iceberg").options(**options).load(
