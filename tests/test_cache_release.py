@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from dataflow_mm_lrt_spark import cache
-from dataflow_mm_lrt_spark.contract import QUERIES
+from dataflow_mm_lrt_spark.contract import EXTRA_QUERIES
+from dataflow_mm_lrt_spark.contract import QUERIES as _DRIVER_QUERIES
+
+# cache-release guarantees cover demoted (EXTRA) entries too
+QUERIES = {**_DRIVER_QUERIES, **EXTRA_QUERIES}
 
 SF_DIR = "/root/testdata/sf0.001"
 

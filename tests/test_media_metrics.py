@@ -325,3 +325,46 @@ def test_video_clip_rows_max_split_and_chainable(spark):
         clips.selectExpr("concat(media_id, '#', scene_idx) AS media_id", "content")
     ).collect()
     assert {r["n_frames"] for r in downstream} == {3, 2}
+
+
+def test_video_clip_rows_variable_delays_per_span(spark):
+    """ADVICE r5: each clip must carry ITS span's own per-frame delays,
+    not the source's first delay replicated — variable-delay GIF timing
+    survives the cut (zero delays render at the 1 cs floor)."""
+    from dataflow_mm_lrt_spark.functions.gif import encode_gif, iter_gif_frames
+
+    # two scenes (luma jump at frame 2) with per-frame delays 2,3 | 9,0
+    frames = _gray_frames([10, 10, 200, 200])
+    blob = encode_gif(frames, delay_cs=[2, 3, 9, 0])
+    df = spark.createDataFrame(
+        [("v1", "video", bytearray(blob))],
+        "media_id string, kind string, content binary",
+    )
+    rows = sorted(
+        mm.video_clip_rows(df, threshold=30.0).collect(),
+        key=lambda r: r["scene_idx"],
+    )
+    assert [(r["start_frame"], r["end_frame"]) for r in rows] == [(0, 2), (2, 4)]
+    got = [
+        [d for _, d in iter_gif_frames(bytes(r["content"]))] for r in rows
+    ]
+    assert got == [[2, 3], [9, 1]]  # span-local delays; 0 floored to 1
+
+
+def test_video_clip_rows_undecodable_rows_skip_not_fail(spark):
+    """ADVICE r5: empty/corrupt videos must take the per-row error path
+    (zero clip rows for that media_id), never a task death — decodable
+    neighbors in the same batch still emit."""
+    good = _gray_frames([10, 10, 200, 200])
+    rows = [
+        ("ok", "video", bytearray(encode_gif(good))),
+        ("empty", "video", bytearray(b"")),
+        ("corrupt", "video", bytearray(b"GIF89a\x01\x02trunc")),
+        ("notvideo", "video", bytearray(b"\x89PNG\r\n\x1a\nnope")),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, kind string, content binary"
+    )
+    out = mm.video_clip_rows(df, threshold=30.0).collect()
+    assert {r["media_id"] for r in out} == {"ok"}
+    assert len(out) == 2  # the two scenes of the decodable row

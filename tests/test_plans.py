@@ -266,3 +266,32 @@ def test_ngram_jaccard_plan_shape(spark):
     from dataflow_mm_lrt_spark import cache
 
     cache.release_all()
+
+
+def test_spread_governing_walk_not_substring(spark):
+    """ADVICE r5: the idempotence check must be a plan-node walk, not a
+    whole-plan substring match — a column NAME containing 'Repartition'
+    must not suppress spreading, and a Repartition buried below an
+    aggregation (which resets the distribution) must not either."""
+    from dataflow_mm_lrt_spark.operators.dedup import (
+        _has_governing_repartition,
+        _spread,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    # column named like the node: old substring check would no-op here
+    trap = docs.withColumnRenamed("text", "RepartitionNote")
+    assert not _has_governing_repartition(trap)
+    once = _spread(trap)
+    assert _has_governing_repartition(once)  # it really spread
+    assert _has_governing_repartition(_spread(once))  # and stays idempotent
+
+    # a repartition BELOW an aggregation no longer governs distribution
+    agged = docs.repartition(4).groupBy("lang").count()
+    assert not _has_governing_repartition(agged)
+
+    # ...but a repartition seen through partition-preserving unary ops
+    # (projection, filter) still does — the idempotence case
+    spread_then_narrow = docs.repartition(8).select("doc_id").filter("doc_id > 3")
+    assert _has_governing_repartition(spread_then_narrow)

@@ -358,3 +358,62 @@ def test_nd_pipeline_matches_microbatch_oracle(spark, tmp_path):
         file_pdfs, watermark_delay_ms=30 * 60 * 1000, order_slack_ms=120_000
     )
     assert len(exp) < len(exp_exact[exp_exact.conv_id != "__punctuation__"])
+
+
+def test_stream_parity_with_multi_chunk_micro_batch(spark, tmp_path):
+    """Regression for the per-chunk sort bug (ADVICE r5, medium):
+    applyInPandasWithState delivers one key's micro-batch rows as
+    MULTIPLE Arrow chunks (split at arrow.maxRecordsPerBatch) in
+    arbitrary intra-group order. The state function must accumulate all
+    chunks and sort ONCE — per-chunk sorting breaks the (ts, turn_idx)
+    ordering contract and stream/batch parity for any key with more
+    rows than one Arrow chunk in a single micro-batch. Forced here with
+    maxRecordsPerBatch=97 and one 600-row conversation arriving in one
+    micro-batch in SCRAMBLED row order."""
+    tr = _transcripts(n_convs=2, turns=300, dup_frac=0.5, seed=11)
+    # scrambled arrival: per-chunk sorted-order != globally sorted order
+    tr = tr.sample(frac=1.0, random_state=13).reset_index(drop=True)
+
+    src_dir = tmp_path / "in"
+    os.makedirs(src_dir)
+    fp = str(src_dir / "part-00000.parquet")
+    pq.write_table(pa.Table.from_pandas(tr, preserve_index=False), fp)
+
+    want = (
+        neardup.stream_simhash_dedup(spark.createDataFrame(tr), threshold=3)
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+
+    from dataflow_mm_lrt_spark.streaming.source import TRANSCRIPT_SCHEMA
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "97")
+    try:
+        src = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(str(src_dir))
+        out = neardup.stream_simhash_dedup(
+            src, threshold=3, watermark_delay="72 hours"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])
+        .sort_index()
+    )
+    assert len(got) == len(want) == len(tr)
+    assert got["keep"].tolist() == want["keep"].tolist()
+    assert got["min_hamming"].tolist() == want["min_hamming"].tolist()
+    assert (~got["keep"]).sum() > 0  # dup injection really suppressed rows
