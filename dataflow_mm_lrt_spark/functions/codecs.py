@@ -229,8 +229,9 @@ def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """(H, W, 3) uint8 from PPM/BMP/PNG/GIF/baseline-JPEG; PIL upgrade
-    path for the rest (progressive JPEG, WebP, TIFF...)."""
+    """(H, W, 3) uint8 from PPM/BMP/PNG/GIF/JPEG (baseline AND
+    progressive); PIL upgrade path for the rest (WebP, TIFF,
+    arithmetic-coded JPEG...)."""
     kind = sniff(buf)
     if kind == "ppm":
         try:

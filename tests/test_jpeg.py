@@ -183,9 +183,111 @@ def test_corrupt_jpeg_codec_unavailable():
         codecs.decode_image(b"\xff\xd8\xff\xe0 then garbage")
 
 
-def test_progressive_rejected_clearly():
-    # minimal stream with a SOF2 marker: must raise CodecUnavailable
-    # with a message pointing at the upgrade path, not a parse error
-    buf = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
-    with pytest.raises(codecs.CodecUnavailable, match="progressive|PIL"):
+def test_arithmetic_coding_rejected_clearly():
+    # minimal stream with a SOF9 (arithmetic) marker: must raise
+    # CodecUnavailable pointing at the upgrade path, not a parse error
+    # (SOF2/progressive is decoded natively as of round 6)
+    buf = b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(codecs.CodecUnavailable, match="arithmetic|PIL"):
         decode_jpeg(buf)
+
+
+# ------------------------------------------------------------ progressive
+
+
+def _structured(h=41, w=53):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        np.clip(128 + 90 * np.sin(0.11 * xx) * np.cos(0.07 * yy)
+                + 40 * ((xx // 8 + yy // 8) % 2), 0, 255),
+        np.clip(100 + 80 * np.cos(0.09 * xx + 1), 0, 255),
+        np.clip(150 + 60 * np.sin(0.05 * (xx + yy)), 0, 255),
+    ], axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality,subsample", [
+    (90, "444"), (90, "420"), (50, "444"), (50, "420"),
+])
+def test_progressive_decode_equals_baseline(quality, subsample):
+    """The progressive encoder splits the SAME quantized coefficients
+    across scans (spectral selection + successive approximation), so
+    decode must equal the baseline decode BIT FOR BIT — a real
+    cross-check of the multi-scan reassembly (DC first/refine, AC
+    first/refine, EOBRUN) against the independently spec-tested
+    baseline path."""
+    from dataflow_mm_lrt_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = _structured()
+    base = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, subsample=subsample)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_and_odd_sizes():
+    from dataflow_mm_lrt_spark.functions.jpeg import encode_jpeg_progressive
+
+    for h, w in [(8, 8), (9, 17), (1, 40)]:
+        g = _structured(max(h, 1), max(w, 1))[..., 0][:h, :w]
+        base = decode_jpeg(encode_jpeg(g, quality=75))
+        prog = decode_jpeg(encode_jpeg_progressive(g, quality=75))
+        assert np.array_equal(base, prog), (h, w)
+
+
+def test_progressive_dc_only_truncation_is_blockwise_mean():
+    """A progressive stream carrying ONLY the DC scan must decode to
+    each 8x8 block's mean (quality 100 => unit quantizer; orthonormal
+    DCT: IDCT of a lone DC coefficient is the block mean) — an
+    ANALYTIC property of the progressive path, independent of the
+    baseline decoder, and exactly the coarse-first rendering a
+    truncated progressive download shows."""
+    from dataflow_mm_lrt_spark.functions.jpeg import encode_jpeg_progressive
+
+    g = _structured(32, 32)[..., 0]
+    blob = encode_jpeg_progressive(
+        g, quality=100, scans=[((0,), 0, 0, 0, 0)]
+    )
+    got = decode_jpeg(blob)[..., 0].astype(np.float64)
+    means = g.reshape(4, 8, 4, 8).mean(axis=(1, 3))
+    want = np.repeat(np.repeat(means, 8, axis=0), 8, axis=1)
+    assert np.abs(got - want).max() <= 1.0  # DC rounding only
+
+
+def test_progressive_no_successive_approximation_script():
+    """Spectral selection alone (Al = 0 everywhere, no refinement
+    scans) — the other common scan script in the wild."""
+    from dataflow_mm_lrt_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = _structured()
+    scans = [
+        ((0, 1, 2), 0, 0, 0, 0),
+        ((0,), 1, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+    ]
+    base = decode_jpeg(encode_jpeg(img, quality=80))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=80, scans=scans))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_flat_image_long_eob_runs():
+    """A nearly flat image maximizes cross-block EOB runs (the deferred
+    EOBRUN symbol + buffered correction bits path on both sides)."""
+    from dataflow_mm_lrt_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = np.full((64, 64, 3), 77, dtype=np.uint8)
+    img[13, 29] = [90, 60, 100]  # one disturbance so not ALL bands empty
+    base = decode_jpeg(encode_jpeg(img, quality=60))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=60))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_dispatches_through_decode_image():
+    from dataflow_mm_lrt_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = _structured(24, 24)
+    blob = encode_jpeg_progressive(img, quality=85)
+    out = codecs.decode_image(blob)
+    assert out.shape == (24, 24, 3)
+    assert np.array_equal(out, decode_jpeg(blob))
