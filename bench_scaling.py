@@ -147,13 +147,29 @@ def child(cpus: int, sf: float) -> None:
             while fh.read(1 << 24):
                 pass
 
+    def _proc_stat() -> tuple[int, int, int]:
+        """(busy, steal, total) jiffies — same instrument as bench.py:
+        steal_pct marks hypervisor-contaminated windows, cpu_core_sec is
+        the steal-immune work measure (counts Python workers too)."""
+        with open("/proc/stat") as fh:
+            v = [int(x) for x in fh.readline().split()[1:]]
+        busy = v[0] + v[1] + v[2] + v[5] + v[6]
+        steal = v[7] if len(v) > 7 else 0
+        return busy, steal, busy + v[3] + v[4] + steal
+
+    hz = os.sysconf("SC_CLK_TCK")
+
     # ---- timed streaming leg FIRST (the headline metric, measured on the
     # coldest package state this child can offer) -------------------------
     out_dir = f"/tmp/spark_graft_scaling_out_{cpus}_{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    b0, s0, tt0 = _proc_stat()
     t0 = time.time()
     run_pipeline(spark, in_dir, out_dir, cfg)
     stream_sec = time.time() - t0
+    b1, s1, tt1 = _proc_stat()
+    stream_steal = round(100.0 * (s1 - s0) / max(tt1 - tt0, 1), 2)
+    stream_cpu = round((b1 - b0) / hz, 1)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # ---- timed batch leg: clean stages + salted windowed counts ---------
@@ -167,12 +183,14 @@ def child(cpus: int, sf: float) -> None:
     cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "240"))
     if cooldown and cpus == 32:
         time.sleep(cooldown)
+    b0, s0, tt0 = _proc_stat()
     t0 = time.time()
     clean_stages(df, cfg).write.format("noop").mode("overwrite").save()
     salted_turn_counts(df, streaming=False).write.format("noop").mode(
         "overwrite"
     ).save()
     batch_sec = time.time() - t0
+    b1, s1, tt1 = _proc_stat()
 
     print(
         json.dumps(
@@ -180,9 +198,13 @@ def child(cpus: int, sf: float) -> None:
                 "cpus": cpus,
                 "batch_sec": round(batch_sec, 2),
                 "batch_rows_per_sec": round(n_turns / batch_sec, 1),
+                "batch_steal_pct": round(100.0 * (s1 - s0) / max(tt1 - tt0, 1), 2),
+                "batch_cpu_core_sec": round((b1 - b0) / hz, 1),
                 "stream_sec": round(stream_sec, 2),
                 "turns": n_turns,
                 "stream_turns_per_sec": round(n_turns / stream_sec, 1),
+                "stream_steal_pct": stream_steal,
+                "stream_cpu_core_sec": stream_cpu,
             }
         )
     )
@@ -303,21 +325,30 @@ equalization (idle siblings kept busy during the small leg) stays on;
 `SPARK_GRAFT_LEG_ORDER=asc SPARK_GRAFT_COOLDOWN=0` reproduces the
 legacy worst-case order.
 
+Steal disclosure (round 6): every timed window records /proc/stat
+deltas — steal_pct is the share of the window the hypervisor withheld
+the vCPU (windows above ~5 % are contaminated and the wall number
+should be read against cpu_core_sec, the steal-immune work measure).
+Caveat: cpu_core_sec is system-wide, so the SMALL leg's value includes
+the frequency-equalization burner spinning on the idle siblings — read
+it for steal diagnosis on that leg, not as a work measure; the 32-core
+leg has no burner and its cpu_core_sec is the honest work number.
+
 ## Streaming pipeline (ingest → clean → stateful ordered assembly + dedup → exactly-once sink)
 
-| parallelism | turns | wall (s) | turns/sec |
-|---|---|---|---|
-| local[8]  | {r8['turns']} | {r8['stream_sec']} | {r8['stream_turns_per_sec']} |
-| local[32] | {r32['turns']} | {r32['stream_sec']} | {r32['stream_turns_per_sec']} |
+| parallelism | turns | wall (s) | turns/sec | steal % | cpu core-s |
+|---|---|---|---|---|---|
+| local[8]  | {r8['turns']} | {r8['stream_sec']} | {r8['stream_turns_per_sec']} | {r8.get('stream_steal_pct', 'n/a')} | {r8.get('stream_cpu_core_sec', 'n/a')} |
+| local[32] | {r32['turns']} | {r32['stream_sec']} | {r32['stream_turns_per_sec']} | {r32.get('stream_steal_pct', 'n/a')} | {r32.get('stream_cpu_core_sec', 'n/a')} |
 
 speedup 8→32 (4× cores): **{stream_speedup:.2f}×** → scaling efficiency **{stream_eff:.2f}**
 
 ## Batch leg (clean stages + salted windowed counts, same input)
 
-| parallelism | wall (s) | rows/sec |
-|---|---|---|
-| local[8]  | {r8['batch_sec']} | {r8['batch_rows_per_sec']} |
-| local[32] | {r32['batch_sec']} | {r32['batch_rows_per_sec']} |
+| parallelism | wall (s) | rows/sec | steal % | cpu core-s |
+|---|---|---|---|---|
+| local[8]  | {r8['batch_sec']} | {r8['batch_rows_per_sec']} | {r8.get('batch_steal_pct', 'n/a')} | {r8.get('batch_cpu_core_sec', 'n/a')} |
+| local[32] | {r32['batch_sec']} | {r32['batch_rows_per_sec']} | {r32.get('batch_steal_pct', 'n/a')} | {r32.get('batch_cpu_core_sec', 'n/a')} |
 
 speedup 8→32: **{batch_speedup:.2f}×** → scaling efficiency **{batch_eff:.2f}**
 

@@ -1,13 +1,15 @@
 """Pure-numpy media codecs for uncompressed formats.
 
-The container has no image/audio libraries, but uncompressed formats
-need none — a PPM/BMP image or PCM WAV file is a header plus an array.
-These decoders give the multimodal operators (operators/multimodal.py)
-a REAL code path end-to-end; compressed formats (JPEG/PNG/MP4/FLAC)
-remain behind a PIL/soundfile import-try upgrade and raise
-``CodecUnavailable`` here.
+The container has no image/audio libraries, but this package ships
+pure-numpy codecs for the dominant wire formats, so the multimodal
+operators (operators/multimodal.py) have a REAL code path end-to-end.
+Uncompressed formats live here; the compressed ones have sibling
+modules (functions/png.py, gif.py, jpeg.py — baseline AND progressive
+— and tiff.py with PackBits/LZW). What remains (WebP, MP4/H.264, FLAC,
+arithmetic-coded JPEG) stays behind a PIL/soundfile import-try upgrade
+and raises ``CodecUnavailable``.
 
-Formats:
+Formats in this module:
 * PPM ``P6`` (binary RGB, maxval ≤ 255), with comment support
 * BMP ``BITMAPINFOHEADER``, 24/32-bit uncompressed (BI_RGB)
 * WAV RIFF PCM 16-bit (chunk walk: fmt + data)
@@ -206,6 +208,8 @@ def sniff(buf: bytes) -> str:
         return "gif"
     if buf[:2] == b"\xff\xd8":
         return "jpeg"
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return "unknown"
 
 
@@ -229,8 +233,8 @@ def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """(H, W, 3) uint8 from PPM/BMP/PNG/GIF/JPEG (baseline AND
-    progressive); PIL upgrade path for the rest (WebP, TIFF,
+    """(H, W, 3) uint8 from PPM/BMP/PNG/GIF/TIFF/JPEG (baseline AND
+    progressive); PIL upgrade path for the rest (WebP,
     arithmetic-coded JPEG...)."""
     kind = sniff(buf)
     if kind == "ppm":
@@ -280,6 +284,15 @@ def decode_image(buf: bytes) -> np.ndarray:
             raise
         except Exception as exc:
             raise CodecUnavailable(f"corrupt JPEG: {exc}") from exc
+    if kind == "tiff":
+        from .tiff import decode_tiff
+
+        try:
+            return decode_tiff(buf)
+        except CodecUnavailable:
+            raise
+        except Exception as exc:
+            raise CodecUnavailable(f"corrupt TIFF: {exc}") from exc
     try:  # optional-library upgrade (absent in this container)
         import io
 
