@@ -1668,7 +1668,8 @@ def _golden(name: str) -> str:
 
 
 def _image_content_col(id_col):
-    """BinaryType pandas UDF: id → deterministic PNG bytes (mediagen)."""
+    """BinaryType pandas UDF: id → deterministic image bytes
+    (mediagen; container rotates by id across the lossless codecs)."""
     import pandas as pd
     from pyspark.sql.types import BinaryType
 
@@ -1714,12 +1715,14 @@ def _round6_col(col):
 
 def q_dedup_phash(spark, sf_dir):
     """Perceptual-hash image near-dup marking (the reference
-    ImageDuplicateFilter, image_diversity_filter.py:37-62) over REAL
-    PNG bytes synthesized per doc_id (mediagen.py): decode → 64-bit
-    DCT pHash → pigeonhole-bucket Hamming join. The oracle recomputes
-    the marking brute-force (all-pairs xor+bit_count in SQL) from the
-    committed golden hashes of the RAW arrays — so this row checks the
-    distributed candidate join AND the PNG round-trip at once."""
+    ImageDuplicateFilter, image_diversity_filter.py:37-62) over real
+    mixed-codec bytes synthesized per doc_id (mediagen.py rotates
+    PNG / TIFF-LZW+predictor / big-endian TIFF-PackBits / GIF, all
+    lossless): decode → 64-bit DCT pHash → pigeonhole-bucket Hamming
+    join. The oracle recomputes the marking brute-force (all-pairs
+    xor+bit_count in SQL) from the committed golden hashes of the RAW
+    arrays — so this row checks the distributed candidate join AND
+    every still-image codec's round-trip at once."""
     # spread BEFORE the synth UDF: the PNG encode is the CPU-heavy
     # stage and must not run on the narrow input's task count
     docs = dedup._spread(
@@ -1828,7 +1831,8 @@ def q_media_metrics(spark, sf_dir):
     clipping ratio, silence ratio). The golden recomputes every metric
     from an INDEPENDENT inline implementation over the raw synth arrays
     — no shared code with the operator or the codecs — so this row
-    proves operator math AND the PNG/WAV round-trips."""
+    proves operator math AND the mixed still-image codec + WAV
+    round-trips (mediagen rotates PNG/TIFF/GIF containers by id)."""
     from .operators import media_metrics as mm
 
     docs = dedup._spread(

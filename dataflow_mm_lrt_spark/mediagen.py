@@ -47,7 +47,29 @@ def synth_image(seed: int, h: int = 64, w: int = 64) -> np.ndarray:
 
 
 def image_bytes(seed: int) -> bytes:
-    return encode_png(synth_image(seed))
+    """Container rotates by id across the LOSSLESS still-image codecs —
+    identical pixels in different wire formats, so the pixel-derived
+    goldens (pHash, image metrics — computed from the raw synth arrays,
+    tools/gen_media_goldens.py) are format-invariant while the
+    driver-visible media rows exercise every decoder: PNG, TIFF-LZW
+    with horizontal-differencing predictor, big-endian TIFF-PackBits,
+    and single-frame GIF (the grayscale-replicated palette always fits
+    256 colors)."""
+    img = synth_image(seed)
+    k = int(seed) % 4
+    if k == 1:
+        from .functions.tiff import encode_tiff
+
+        return encode_tiff(img, compression=5, predictor=2)
+    if k == 2:
+        from .functions.tiff import encode_tiff
+
+        return encode_tiff(img, compression=32773, byte_order=">")
+    if k == 3:
+        from .functions.gif import encode_gif
+
+        return encode_gif(img)
+    return encode_png(img)
 
 
 def synth_audio(seed: int, rate: int = AUDIO_RATE) -> tuple[np.ndarray, int]:
