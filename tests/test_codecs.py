@@ -160,3 +160,22 @@ def test_fake_path_unchanged(spark):
 
     out = extract_features(fake_media_df(spark, n=4), fake=True).collect()
     assert len(out) == 4 and all(len(r["feature"]) == 8 for r in out)
+
+
+def test_mediagen_image_rotation_pixel_identical():
+    """mediagen.image_bytes rotates the container by id (PNG /
+    TIFF-LZW+pred / TIFF-PackBits-BE / GIF) — every format must decode
+    to the raw synth array EXACTLY, or the pixel-derived goldens
+    (pHash, image metrics) would silently drift per format."""
+    import numpy as np
+
+    from dataflow_mm_lrt_spark import mediagen
+
+    kinds = set()
+    for seed in range(8):
+        blob = mediagen.image_bytes(seed)
+        kinds.add(codecs.sniff(blob))
+        assert np.array_equal(
+            codecs.decode_image(blob), mediagen.synth_image(seed)
+        ), seed
+    assert kinds == {"png", "tiff", "gif"}  # both tiff variants sniff alike
