@@ -111,6 +111,9 @@ HEADLINE = [
     # round-5 additions
     "dedup_phash",
     "media_metrics",
+    # round-6 addition: the reference's flagship AND-composition filter
+    # (tfidf ∧ pHash over mixed-codec bytes) gets its own tracked number
+    "image_diversity",
 ]
 
 
