@@ -54,18 +54,22 @@ def image_bytes(seed: int) -> bytes:
     driver-visible media rows exercise every decoder: PNG, TIFF-LZW
     with horizontal-differencing predictor, big-endian TIFF-PackBits,
     and single-frame GIF (the grayscale-replicated palette always fits
-    256 colors)."""
+    256 colors). PNG keeps the majority share: its encoder is C-zlib
+    (~1.2 ms/img) while the TIFF-LZW/PackBits/GIF encoders are honest
+    Python loops (~4-12 ms/img) — every decoder is still exercised in
+    every driver batch, without the synth stage's cost being dominated
+    by fixture encoding."""
     img = synth_image(seed)
-    k = int(seed) % 4
-    if k == 1:
+    k = int(seed) % 8
+    if k == 5:
         from .functions.tiff import encode_tiff
 
         return encode_tiff(img, compression=5, predictor=2)
-    if k == 2:
+    if k == 6:
         from .functions.tiff import encode_tiff
 
         return encode_tiff(img, compression=32773, byte_order=">")
-    if k == 3:
+    if k == 7:
         from .functions.gif import encode_gif
 
         return encode_gif(img)
