@@ -5,7 +5,8 @@ pure-numpy codecs for the dominant wire formats, so the multimodal
 operators (operators/multimodal.py) have a REAL code path end-to-end.
 Uncompressed formats live here; the compressed ones have sibling
 modules (functions/png.py, gif.py, jpeg.py — baseline AND progressive
-— and tiff.py with PackBits/LZW). What remains (WebP, MP4/H.264, FLAC,
+— tiff.py with PackBits/LZW, and webp.py with the full VP8L lossless
+bitstream). What remains (lossy VP8 WebP, MP4/H.264, FLAC,
 arithmetic-coded JPEG) stays behind a PIL/soundfile import-try upgrade
 and raises ``CodecUnavailable``.
 
@@ -210,6 +211,8 @@ def sniff(buf: bytes) -> str:
         return "jpeg"
     if buf[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        return "webp"
     return "unknown"
 
 
@@ -234,8 +237,8 @@ def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
 
 def decode_image(buf: bytes) -> np.ndarray:
     """(H, W, 3) uint8 from PPM/BMP/PNG/GIF/TIFF/JPEG (baseline AND
-    progressive); PIL upgrade path for the rest (WebP,
-    arithmetic-coded JPEG...)."""
+    progressive)/WebP-lossless; PIL upgrade path for the rest (lossy
+    VP8 WebP, arithmetic-coded JPEG...)."""
     kind = sniff(buf)
     if kind == "ppm":
         try:
@@ -293,6 +296,15 @@ def decode_image(buf: bytes) -> np.ndarray:
             raise
         except Exception as exc:
             raise CodecUnavailable(f"corrupt TIFF: {exc}") from exc
+    if kind == "webp":
+        from .webp import decode_webp
+
+        try:
+            return decode_webp(buf)
+        except CodecUnavailable:
+            raise
+        except Exception as exc:
+            raise CodecUnavailable(f"corrupt WebP: {exc}") from exc
     try:  # optional-library upgrade (absent in this container)
         import io
 

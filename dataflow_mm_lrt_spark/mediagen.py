@@ -51,16 +51,21 @@ def image_bytes(seed: int) -> bytes:
     identical pixels in different wire formats, so the pixel-derived
     goldens (pHash, image metrics — computed from the raw synth arrays,
     tools/gen_media_goldens.py) are format-invariant while the
-    driver-visible media rows exercise every decoder: PNG, TIFF-LZW
-    with horizontal-differencing predictor, big-endian TIFF-PackBits,
-    and single-frame GIF (the grayscale-replicated palette always fits
-    256 colors). PNG keeps the majority share: its encoder is C-zlib
-    (~1.2 ms/img) while the TIFF-LZW/PackBits/GIF encoders are honest
-    Python loops (~4-12 ms/img) — every decoder is still exercised in
-    every driver batch, without the synth stage's cost being dominated
-    by fixture encoding."""
+    driver-visible media rows exercise every decoder: PNG, WebP
+    lossless (VP8L), TIFF-LZW with horizontal-differencing predictor,
+    big-endian TIFF-PackBits, and single-frame GIF (the
+    grayscale-replicated palette always fits 256 colors). PNG keeps the
+    majority share: its encoder is C-zlib (~1.2 ms/img) while the
+    VP8L/TIFF-LZW/PackBits/GIF encoders are honest Python loops
+    (~4-12 ms/img) — every decoder is still exercised in every driver
+    batch, without the synth stage's cost being dominated by fixture
+    encoding."""
     img = synth_image(seed)
     k = int(seed) % 8
+    if k == 4:
+        from .functions.webp import encode_webp
+
+        return encode_webp(img)
     if k == 5:
         from .functions.tiff import encode_tiff
 

@@ -163,7 +163,7 @@ def test_fake_path_unchanged(spark):
 
 
 def test_mediagen_image_rotation_pixel_identical():
-    """mediagen.image_bytes rotates the container by id (PNG /
+    """mediagen.image_bytes rotates the container by id (PNG / WebP /
     TIFF-LZW+pred / TIFF-PackBits-BE / GIF) — every format must decode
     to the raw synth array EXACTLY, or the pixel-derived goldens
     (pHash, image metrics) would silently drift per format."""
@@ -178,4 +178,5 @@ def test_mediagen_image_rotation_pixel_identical():
         assert np.array_equal(
             codecs.decode_image(blob), mediagen.synth_image(seed)
         ), seed
-    assert kinds == {"png", "tiff", "gif"}  # both tiff variants sniff alike
+    # both tiff variants sniff alike
+    assert kinds == {"png", "webp", "tiff", "gif"}
