@@ -11,8 +11,12 @@ first-run compilation (which is identical at both levels and would just
 dilute the ratio). Raw results land in BENCH/BASELINE_auto.md;
 the curated analysis lives in BENCH/BASELINE.md.
 
-Usage: python bench_scaling.py [--sf 0.2]
+Usage: python bench_scaling.py [--sf 0.2] [--reuse <file>]
 Child mode: python bench_scaling.py --child <cpus> <sf>  → one JSON line
+
+--reuse <file>: a file holding previously printed child JSON lines;
+legs whose "cpus" appear there are loaded instead of re-run (for
+re-running one contaminated leg without repeating the clean one).
 """
 
 from __future__ import annotations
@@ -211,6 +215,22 @@ def child(cpus: int, sf: float) -> None:
     spark.stop()
 
 
+def _busy_cores(window: float = 3.0) -> float:
+    """Cores of NON-idle, non-steal CPU burned box-wide over a short
+    probe — co-tenant load the steal counter cannot see (e.g. a stale
+    burner or another benchmark). Must read ~0 before a timed leg."""
+
+    def snap() -> int:
+        with open("/proc/stat") as fh:
+            v = [int(x) for x in fh.readline().split()[1:]]
+        return v[0] + v[1] + v[2] + v[5] + v[6]
+
+    b0 = snap()
+    time.sleep(window)
+    b1 = snap()
+    return (b1 - b0) / os.sysconf("SC_CLK_TCK") / window
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(int(sys.argv[2]), float(sys.argv[3]))
@@ -218,6 +238,15 @@ def main() -> None:
     sf = 0.8
     if "--sf" in sys.argv:
         sf = float(sys.argv[sys.argv.index("--sf") + 1])
+    reuse: dict[int, dict] = {}
+    if "--reuse" in sys.argv:
+        with open(sys.argv[sys.argv.index("--reuse") + 1]) as fh:
+            for line in fh:
+                line = line.strip()
+                if line.startswith("{"):
+                    d = json.loads(line)
+                    if "cpus" in d:
+                        reuse[int(d["cpus"])] = d
 
     scaling_dataset(sf)  # build the cache once, outside both timed children
     n_cores = os.cpu_count() or 32
@@ -240,6 +269,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_LEG_ORDER", "desc") == "asc":
         legs = (8, 32)
     for cpus in legs:
+        if cpus in reuse:
+            results[cpus] = reuse[cpus]
+            print(json.dumps(reuse[cpus]), flush=True)
+            continue
         # SPARK_GRAFT_COOLDOWN=<sec>: idle the whole box before the
         # 32-core timed leg (default 240 s). Round-4 diagnosis: with
         # equalization on, the SECOND leg's 32-core drain still read
@@ -251,6 +284,19 @@ def main() -> None:
         cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "240"))
         if cooldown and cpus == 32:
             time.sleep(cooldown)
+        # co-tenant gate: refuse to start a timed leg while the box is
+        # already burning CPU (stale burner, another bench, a build —
+        # load the per-window steal counter cannot see). Wait up to
+        # 10 min for quiet, then proceed but record the residual.
+        pre_busy = _busy_cores()
+        waited = 0.0
+        while pre_busy > 1.5 and waited < 600:
+            time.sleep(20)
+            waited += 23
+            pre_busy = _busy_cores()
+        if pre_busy > 1.5:
+            print(f"WARNING: leg {cpus} starting with {pre_busy:.1f} "
+                  "busy cores of co-tenant load", flush=True)
         # pin the process tree to exactly N physical cores — local[N] alone
         # does not bound GC/IO/python-worker threads, which would let the
         # small leg borrow the whole machine and understate scaling
@@ -266,12 +312,30 @@ def main() -> None:
         # SPARK_GRAFT_EQUALIZE=0 to reproduce the raw ratio.
         burner = None
         if cpus < n_cores and os.environ.get("SPARK_GRAFT_EQUALIZE", "1") == "1":
+            # the burner lives in its own session (setsid) so the bench can
+            # killpg it; if the BENCH dies instead (session kill), every
+            # burner process watches its parentage and self-terminates —
+            # a stale burner once survived a killed session and silently
+            # ate 24 cores under the next run's 32-core leg
+            nb = n_cores - cpus
+            burner_src = (
+                "import multiprocessing as mp, os, time\n"
+                "def f(_):\n"
+                "    i = 0\n"
+                "    while True:\n"
+                "        i += 1\n"
+                "        if i % 50_000_000 == 0 and os.getppid() == 1:\n"
+                "            os._exit(0)\n"
+                "if __name__ == '__main__':\n"
+                f"    procs = [mp.Process(target=f, args=(i,), daemon=True) for i in range({nb})]\n"
+                "    for p in procs: p.start()\n"
+                "    while os.getppid() != 1:\n"
+                "        time.sleep(2)\n"
+                "    for p in procs: p.terminate()\n"
+            )
             burner = subprocess.Popen(
-                ["taskset", "-c", f"{cpus}-{n_cores - 1}", sys.executable, "-c",
-                 "import multiprocessing as mp\n"
-                 "def f(_):\n"
-                 "    while True: pass\n"
-                 f"with mp.Pool({n_cores - cpus}) as p: p.map(f, range({n_cores - cpus}))"],
+                ["taskset", "-c", f"{cpus}-{n_cores - 1}", sys.executable,
+                 "-c", burner_src],
                 preexec_fn=os.setsid,
             )
         try:
@@ -286,9 +350,11 @@ def main() -> None:
                 import signal
 
                 os.killpg(os.getpgid(burner.pid), signal.SIGKILL)
-        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(line, flush=True)
+        results[cpus] = json.loads(
+            [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        )
+        results[cpus]["pre_leg_busy_cores"] = round(pre_busy, 2)
+        print(json.dumps(results[cpus]), flush=True)
 
     r8, r32 = results[8], results[32]
     stream_speedup = r8["stream_sec"] / r32["stream_sec"]
@@ -333,6 +399,13 @@ Caveat: cpu_core_sec is system-wide, so the SMALL leg's value includes
 the frequency-equalization burner spinning on the idle siblings — read
 it for steal diagnosis on that leg, not as a work measure; the 32-core
 leg has no burner and its cpu_core_sec is the honest work number.
+Co-tenant gate: each leg starts only after a 3 s probe reads <1.5
+busy cores box-wide (waiting up to 10 min), and the residual is
+recorded — pre-leg busy cores: local[{legs[1]}]
+{r8.get('pre_leg_busy_cores', 'n/a')}, local[{legs[0]}]
+{r32.get('pre_leg_busy_cores', 'n/a')}. This catches same-box load
+(another bench, a stale equalization burner) that the steal counter
+cannot see; the burner itself now self-terminates when orphaned.
 
 ## Streaming pipeline (ingest → clean → stateful ordered assembly + dedup → exactly-once sink)
 
