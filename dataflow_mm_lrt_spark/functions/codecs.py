@@ -152,29 +152,105 @@ def decode_bmp(buf: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
-    """Returns ((n_samples, channels) int16, sample_rate)."""
+    """Returns ((n_samples, channels) int16, sample_rate).
+
+    Format tags handled natively (the reference gets these for free
+    from soundfile — utils/utils.py:27): 1 = integer PCM (8-bit
+    unsigned, 16/24/32-bit signed), 3 = IEEE float (32/64-bit),
+    6 = G.711 A-law, 7 = G.711 μ-law, 0x11 = IMA ADPCM, and
+    0xFFFE = WAVE_FORMAT_EXTENSIBLE (resolved via its SubFormat
+    GUID). Wider-than-16-bit inputs are narrowed to the int16
+    contract exactly as ``soundfile.read(dtype='int16')`` does
+    (truncation of the low bits / ±32767 scaling for floats)."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, n = 12, len(buf)
     fmt = None
+    fmt_body = b""
     data = None
+    fact_samples = None
     while pos + 8 <= n:
         cid = buf[pos : pos + 4]
         size = struct.unpack_from("<I", buf, pos + 4)[0]
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact_samples = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_format, channels, rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise CodecUnavailable(f"WAV format={audio_format}/{bits}bit not supported")
-    samples = np.frombuffer(data[: len(data) // (2 * channels) * 2 * channels],
-                            dtype="<i2").reshape(-1, channels)
-    return samples, rate
+    audio_format, channels, rate, _, block_align, bits = fmt
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    if audio_format == 0xFFFE and len(fmt_body) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: real tag is the SubFormat GUID's
+        # first two bytes (the rest is the fixed ksmedia namespace)
+        audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
+
+    from . import audio_codecs as _ac
+
+    if audio_format == 1:  # integer PCM
+        width = bits // 8
+        usable = len(data) // (width * channels) * (width * channels)
+        if bits == 16:
+            samples = np.frombuffer(data[:usable], dtype="<i2")
+        elif bits == 8:  # 8-bit PCM is unsigned, midpoint 128
+            raw = np.frombuffer(data[:usable], dtype=np.uint8)
+            samples = ((raw.astype(np.int16) - 128) << 8)
+        elif bits == 24:
+            raw = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+            val = (
+                raw[:, 0].astype(np.int32)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | (raw[:, 2].astype(np.int32) << 16)
+            )
+            val = np.where(val >= 1 << 23, val - (1 << 24), val)
+            samples = (val >> 8).astype(np.int16)
+        elif bits == 32:
+            samples = (
+                np.frombuffer(data[:usable], dtype="<i4") >> 16
+            ).astype(np.int16)
+        else:
+            raise CodecUnavailable(f"WAV PCM {bits}-bit not supported")
+        return samples.reshape(-1, channels), rate
+    if audio_format == 3:  # IEEE float
+        if bits == 32:
+            f = np.frombuffer(data[: len(data) // (4 * channels) * 4 * channels],
+                              dtype="<f4")
+        elif bits == 64:
+            f = np.frombuffer(data[: len(data) // (8 * channels) * 8 * channels],
+                              dtype="<f8")
+        else:
+            raise CodecUnavailable(f"WAV float {bits}-bit not supported")
+        samples = np.clip(np.rint(f.astype(np.float64) * 32767.0),
+                          -32768, 32767).astype(np.int16)
+        return samples.reshape(-1, channels), rate
+    if audio_format in (6, 7):  # G.711 A-law / μ-law
+        usable = len(data) // channels * channels
+        codes = np.frombuffer(data[:usable], dtype=np.uint8)
+        dec = _ac.alaw_decode if audio_format == 6 else _ac.mulaw_decode
+        return dec(codes).reshape(-1, channels), rate
+    if audio_format == 0x11:  # IMA ADPCM
+        if block_align < 4 * channels:
+            raise ValueError("IMA ADPCM block_align too small")
+        out = []
+        for off in range(0, len(data) - (4 * channels) + 1, block_align):
+            out.append(
+                _ac.ima_adpcm_decode_block(
+                    data[off : off + block_align], channels
+                )
+            )
+        samples = (
+            np.vstack(out) if out else np.empty((0, channels), dtype=np.int16)
+        )
+        if fact_samples is not None:  # drop tail-block zero padding
+            samples = samples[:fact_samples]
+        return samples, rate
+    raise CodecUnavailable(f"WAV format={audio_format}/{bits}bit not supported")
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -190,6 +266,57 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
+
+
+def _wav_container(fmt: bytes, data: bytes, fact: int | None = None) -> bytes:
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if fact is not None:
+        chunks += b"fact" + struct.pack("<II", 4, fact)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"  # word alignment pad
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_g711(samples: np.ndarray, rate: int, law: str = "mulaw") -> bytes:
+    """int16 samples → G.711-companded WAV (format tag 7=μ-law, 6=A-law).
+    One byte per sample; the non-PCM fmt carries cbSize=0 and a fact
+    chunk, per the RIFF/WAVE registration."""
+    from . import audio_codecs as _ac
+
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    if law == "mulaw":
+        tag, codes = 7, _ac.mulaw_encode(samples.reshape(-1))
+    elif law == "alaw":
+        tag, codes = 6, _ac.alaw_encode(samples.reshape(-1))
+    else:
+        raise ValueError(f"unknown companding law {law!r}")
+    fmt = struct.pack("<HHIIHHH", tag, channels, rate, rate * channels,
+                      channels, 8, 0)
+    return _wav_container(fmt, codes.tobytes(), fact=samples.shape[0])
+
+
+def encode_wav_ima(
+    samples: np.ndarray, rate: int, samples_per_block: int = 505
+) -> bytes:
+    """int16 samples → IMA ADPCM WAV (format tag 0x11): ~4:1 compressed,
+    per-block per-channel predictor headers, fact chunk carrying the
+    true sample count so decode drops tail-block padding."""
+    from . import audio_codecs as _ac
+
+    samples = np.asarray(samples, dtype=np.int16)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    data, block_align, spb = _ac.ima_adpcm_encode(samples, rate,
+                                                  samples_per_block)
+    blocks_per_sec = (rate + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, channels, rate,
+                      blocks_per_sec * block_align, block_align, 4, 2, spb)
+    return _wav_container(fmt, data, fact=n)
 
 
 # ---------------------------------------------------------------------------
