@@ -340,14 +340,22 @@ def sniff(buf: bytes) -> str:
         return "tiff"
     if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
         return "webp"
+    if buf[:4] == b"fLaC":
+        return "flac"
     return "unknown"
 
 
 def decode_audio(buf: bytes) -> tuple[np.ndarray, int]:
-    """((n, ch) int16, rate) from PCM WAV; soundfile upgrade for the
-    rest (absent in this container → CodecUnavailable)."""
-    if sniff(buf) == "wav":
+    """((n, ch) int16, rate) from WAV (PCM 8/16/24/32-bit, float,
+    G.711, IMA ADPCM) or native FLAC; soundfile upgrade for the rest
+    (absent in this container → CodecUnavailable)."""
+    kind = sniff(buf)
+    if kind == "wav":
         return decode_wav(buf)
+    if kind == "flac":
+        from .flac import decode_flac
+
+        return decode_flac(buf)
     try:  # optional-library upgrade
         import io
 

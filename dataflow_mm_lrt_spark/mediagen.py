@@ -96,7 +96,18 @@ def synth_audio(seed: int, rate: int = AUDIO_RATE) -> tuple[np.ndarray, int]:
 
 
 def audio_bytes(seed: int) -> bytes:
+    """Container rotates by id across the LOSSLESS audio codecs —
+    identical samples in different wire formats (same scheme as
+    image_bytes): PCM-16 WAV keeps the majority share (numpy-speed
+    encode), every 4th id ships as native FLAC (fixed-predictor
+    subset, honest Python Rice coding) so the FLAC decoder is
+    exercised in every driver-visible media row while the
+    sample-derived goldens stay format-invariant."""
     samples, rate = synth_audio(seed)
+    if int(seed) % 4 == 3:
+        from .functions.flac import encode_flac
+
+        return encode_flac(samples, rate)
     return encode_wav(samples, rate)
 
 
