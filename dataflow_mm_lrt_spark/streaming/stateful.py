@@ -26,6 +26,17 @@ The group function is Arrow-batched and fully pandas-vectorized — the
 only Python executed per *row* is pickle of the bounded buffer.
 Emission is deterministic for a fixed input stream + watermark sequence
 — the contract pytest replays (FIXTURES.md §4).
+
+Spark 4's successor API ``transformWithStateInPandas`` (ValueState/
+ListState without whole-buffer pickling, timers, initial state) was
+probed in this environment on 2026-08-18 and is BLOCKED: its state
+protocol imports ``google.protobuf``, which is not installed in this
+container (the TWS driver worker crashes with
+``ImportError: cannot import name 'descriptor' from 'google.protobuf'``
+inside pyspark's StateMessage_pb2 before any user code runs; no pip
+installs allowed here). Re-probe when protobuf appears — the sorted-run
+state maps 1:1 onto a ListState of (turn_idx, ts, fp) plus a ValueState
+watermark cursor, which would drop the per-batch pickle round-trip.
 """
 
 from __future__ import annotations

@@ -256,3 +256,25 @@ def test_mediagen_audio_rotation_is_lossless():
         got, rate = codecs.decode_audio(buf)
         assert rate == rate_w and np.array_equal(got, want), i
     assert kinds == {"wav", "flac"}  # both containers exercised
+
+
+# --- hypothesis properties ---------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    data=st.lists(st.integers(-32768, 32767), min_size=1, max_size=6000),
+    ch=st.integers(1, 2),
+    block=st.sampled_from([4096]),
+)
+def test_flac_roundtrip_property(data, ch, block):
+    x = np.array(data, dtype=np.int16)
+    if ch == 2:
+        x = np.stack([x, x[::-1]], axis=1)
+    buf = encode_flac(x, 8000, block=block)
+    got, rate = decode_flac(buf)
+    want = x if x.ndim == 2 else x[:, None]
+    assert rate == 8000 and np.array_equal(got, want)
