@@ -99,10 +99,12 @@ def iter_ppm_frames(buf: bytes) -> Iterator[np.ndarray]:
 
 
 def iter_video_frames(buf: bytes) -> Iterator[np.ndarray]:
-    """Format-sniffing multi-frame decode: animated GIF (a real public
-    container, functions/gif.py) or a concatenated-P6 raw stream.
-    Anything else raises ``CodecUnavailable`` (PyAV/decord upgrade
-    path, absent here)."""
+    """Format-sniffing multi-frame decode: animated GIF
+    (functions/gif.py), Motion-JPEG in AVI (functions/avi.py) or MP4
+    (functions/mp4.py), or a concatenated-P6 raw stream. Anything else
+    raises ``CodecUnavailable`` (PyAV/decord upgrade path, absent
+    here; H.264/HEVC tracks inside the real containers gate the same
+    way — their metadata still probes)."""
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         from .gif import iter_gif_frames
 
@@ -114,7 +116,34 @@ def iter_video_frames(buf: bytes) -> Iterator[np.ndarray]:
             raise
         except Exception as exc:
             raise CodecUnavailable(f"corrupt GIF video: {exc}") from exc
+    kind = sniff_video(buf)
+    if kind in ("avi", "mp4"):
+        if kind == "avi":
+            from .avi import iter_avi_frames as it
+        else:
+            from .mp4 import iter_mp4_frames as it
+        try:
+            yield from it(buf)
+            return
+        except CodecUnavailable:
+            raise
+        except Exception as exc:
+            raise CodecUnavailable(f"corrupt {kind} video: {exc}") from exc
     yield from iter_ppm_frames(buf)
+
+
+def sniff_video(buf: bytes) -> str:
+    """Container kind for multi-frame media: gif / avi / mp4 / ppm /
+    unknown (ppm = the raw concatenated-P6 stream)."""
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if buf[:4] == b"RIFF" and buf[8:12] == b"AVI ":
+        return "avi"
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        return "mp4"
+    if buf[:2] == b"P6":
+        return "ppm"
+    return "unknown"
 
 
 # ---------------------------------------------------------------------------

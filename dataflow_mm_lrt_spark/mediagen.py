@@ -121,6 +121,14 @@ def video_params(seed: int) -> tuple[int, int, int, int]:
 
 
 def synth_video(seed: int) -> bytes:
+    """Container rotates by id across the real video containers with
+    IDENTICAL structure (frame count, dims, per-frame delay — the only
+    things the video_info / video_resolution oracles check, closed-form
+    in video_params): GIF keeps the majority share; every 5th id ships
+    as Motion-JPEG AVI (id%5==2) or Motion-JPEG MP4 (id%5==4), so the
+    RIFF-AVI and ISO-BMFF paths run inside the driver-visible rows.
+    All three carry the same timing: fps = 100/delay_cs, duration =
+    n*delay_cs/100."""
     from .functions.gif import encode_gif
 
     n_frames, w, h, delay_cs = video_params(seed)
@@ -129,4 +137,12 @@ def synth_video(seed: int) -> bytes:
         np.full((h, w, 3), (s * 37 + i * 40) % 256, dtype=np.uint8)
         for i in range(n_frames)
     ]
+    if s % 5 == 2:
+        from .functions.avi import encode_avi_mjpeg
+
+        return encode_avi_mjpeg(frames, rate=100, scale=delay_cs)
+    if s % 5 == 4:
+        from .functions.mp4 import encode_mp4_mjpeg
+
+        return encode_mp4_mjpeg(frames, timescale=100, delta=delay_cs)
     return encode_gif(frames, delay_cs=delay_cs)

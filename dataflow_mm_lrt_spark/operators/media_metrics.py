@@ -454,6 +454,10 @@ def video_info(df: DataFrame) -> DataFrame:
     from the REAL container instead of cv2: animated GIF carries
     per-frame delays (centiseconds), so duration = Σdelay/100 and
     fps = num_frames/duration (the reference's average-fps definition);
+    AVI (strh dwRate/dwScale) and MP4 (mdhd timescale + stts) probe
+    their header timing WITHOUT decoding samples — exactly the
+    cv2.CAP_PROP probe the reference performs, so even codings we
+    cannot pixel-decode (H.264 in MP4, non-MJPG AVI) report metadata;
     raw concatenated-P6 streams carry no timing → fps/duration NULL.
     Undecodable bytes → success=false, all metrics NULL (the reference's
     per-row error path, :139-160 safe_parallel handling)."""
@@ -467,8 +471,23 @@ def video_info(df: DataFrame) -> DataFrame:
             for mid, c in zip(pdf["media_id"], pdf["content"]):
                 buf = bytes(c or b"")
                 try:
+                    kind = codecs.sniff_video(buf)
+                    if kind in ("avi", "mp4"):
+                        if kind == "avi":
+                            from ..functions.avi import probe_avi as probe
+                        else:
+                            from ..functions.mp4 import probe_mp4 as probe
+                        p = probe(buf)
+                        n, w, h = p["n_frames"], p["width"], p["height"]
+                        if n < 1 or w < 1 or h < 1:
+                            raise codecs.CodecUnavailable("empty video track")
+                        rows.append(
+                            (mid, True, n, h, w, w / h, w * h,
+                             p["fps"], p["duration_sec"])
+                        )
+                        continue
                     delays = None
-                    if buf[:6] in (b"GIF87a", b"GIF89a"):
+                    if kind == "gif":
                         frames_delays = list(iter_gif_frames(buf))
                         frames = [f for f, _ in frames_delays]
                         delays = [d for _, d in frames_delays]
