@@ -212,11 +212,21 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         runs = []
-        for _ in range(2):  # min of two runs: exclude one-time JIT compile
+        # min-of-2, plus an adaptive 3rd run while timings are still
+        # descending: round-6 dedicated-JVM evidence (BENCH/BASELINE.md)
+        # showed run 2 of a heavy query can still carry un-amortized JIT
+        # (ngram: 8.2 s → 2.2 s → 1.9 s) — a plateau check catches that
+        # without tripling the suite for the fast queries.
+        for attempt in range(3):
             df = fn(spark, SF_DIR)
             w = _Window()
             df.write.format("noop").mode("overwrite").save()
             runs.append(w.stop())
+            if attempt >= 1 and (
+                runs[-1]["sec"] < 1.0
+                or runs[-1]["sec"] >= runs[-2]["sec"] * 0.8
+            ):
+                break  # converged (≤20 % improvement) or already fast
         best = min(runs, key=lambda r: r["sec"])
         per_query[name] = best["sec"]
         query_metrics[name] = {
@@ -324,7 +334,8 @@ def main() -> None:
                 "clk_tck": _HZ,
                 "flags": flags,
                 "methodology": (
-                    "min-of-2 per query, median-of-3 drains; steal_pct = "
+                    "min-of-2 per query (+1 adaptive run while timings "
+                    "descend >20%), median-of-3 drains; steal_pct = "
                     "/proc/stat steal share per window; cpu_core_sec = "
                     "user+nice+system+irq jiffies/HZ (steal-immune, counts "
                     "Python workers, unlike executorCpuTime); flags mark "
