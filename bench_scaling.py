@@ -107,10 +107,22 @@ def child(cpus: int, sf: float) -> None:
         extra["spark.sql.streaming.stateStore.providerClass"] = (
             "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
         )
+    # Shuffle/state partitions are FIXED across legs (2 × the large
+    # leg's cores), not scaled with them: a real N→4N executor scale-up
+    # runs the SAME job — Spark stateful queries pin
+    # spark.sql.shuffle.partitions at the first checkpoint and cannot
+    # change it across restarts, and a batch job's partitioning does not
+    # follow cluster size either. Scaling partitions with cores (the
+    # pre-round-6 behavior, reproducible via
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS) made the two legs run different
+    # physical plans: the 8-leg got 16 RocksDB state instances and the
+    # 32-leg 64, so the 32-leg paid 4× the per-instance open/commit
+    # overhead — a harness artifact, not engine scaling.
+    n_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "64"))
     spark = build_session(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=2 * cpus,
+        shuffle_partitions=n_parts,
         extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -372,7 +384,11 @@ efficiency ≥ 0.8) is evidenced at two local parallelism levels on
 identical input: the deterministic seed-42 transcript stream at sf={sf}
 ({r8['turns']} turns, {N_FILES} input files). Each level runs in its own
 JVM with a warm-up drain first (JIT compile is identical at both levels
-and excluded from the timed window); shuffle partitions = 2×cores.
+and excluded from the timed window); shuffle/state partitions are
+FIXED at 64 for BOTH legs (a real N→4N scale-up runs the same job:
+stateful queries pin shuffle partitions at the first checkpoint, so
+scaling partitions with cores would compare two different physical
+plans — 16 vs 64 RocksDB state instances).
 
 Fair-start protocol (bench_scaling.py defaults, round 5): legs run in
 descending order ({legs[0]} then {legs[1]} cores) with a {cooldown} s
