@@ -111,9 +111,11 @@ HEADLINE = [
     # round-5 additions
     "dedup_phash",
     "media_metrics",
-    # round-6 addition: the reference's flagship AND-composition filter
-    # (tfidf ∧ pHash over mixed-codec bytes) gets its own tracked number
+    # round-6 additions: the reference's flagship AND-composition filter
+    # (tfidf ∧ pHash over mixed-codec bytes), and the container metadata
+    # probe now rotating across GIF / MJPEG-AVI / MJPEG-MP4 synth bytes
     "image_diversity",
+    "video_info",
 ]
 
 
