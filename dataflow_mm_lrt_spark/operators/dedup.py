@@ -455,20 +455,50 @@ def tfidf_cosine_near_dup(
                 StructField("cosine", DoubleType()),
             ]
         )
+        # per-task transient budget for the (batch × tile) sims buffer.
+        # The r6 kernel materialized the FULL batch×n sims matrix plus
+        # _round6 temporaries — ~0.6 GB × 4 copies × 32 concurrent tasks
+        # at n=50k, which thrashed the sandbox (sf1.0 runs swung
+        # 71→138 s). Tiling the right side bounds live memory at
+        # ~2×TILE_BUDGET doubles per task; everything below runs
+        # in-place on the tile (no _round6 temporaries).
+        tile_budget = 1 << 22  # 4M doubles = 32 MB per tile
 
         def gemm(batches):
             rids, rmat = bc.value
+            rmat_t = np.ascontiguousarray(rmat.T)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 aids = pdf[id_col].to_numpy()
                 amat = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
-                sims = _round6(amat @ rmat.T)
-                mask = (sims >= thr) & (aids[:, None] < rids[None, :])
-                ii, jj = np.nonzero(mask)
-                yield pd.DataFrame(
-                    {"id_a": aids[ii], "id_b": rids[jj], "cosine": sims[ii, jj]}
-                )
+                tile = max(64, tile_budget // max(1, len(aids)))
+                frames = []
+                for lo in range(0, len(rids), tile):
+                    rt = rids[lo : lo + tile]
+                    sims = amat @ rmat_t[:, lo : lo + tile]
+                    # ROUND(x,6) ≥ thr on nonneg tf-idf cosines, all
+                    # in-place: floor(x*1e6 + 0.5) is the _round6
+                    # numerator (operators/gemm.py) — the kept values
+                    # divide back to exactly _round6(x)
+                    np.multiply(sims, 1e6, out=sims)
+                    np.add(sims, 0.5, out=sims)
+                    np.floor(sims, out=sims)
+                    mask = sims >= round(thr * 1e6)
+                    mask &= aids[:, None] < rt[None, :]
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "id_a": aids[ii],
+                                    "id_b": rt[jj],
+                                    "cosine": sims[ii, jj] / 1e6,
+                                }
+                            )
+                        )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
 
         pairs = vecs.repartition(n_buckets).mapInPandas(gemm, out_schema)
     else:

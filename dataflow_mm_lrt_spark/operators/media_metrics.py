@@ -464,7 +464,7 @@ def video_info(df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions import codecs
-        from ..functions.gif import iter_gif_frames
+        from ..functions.gif import probe_gif
 
         for pdf in batches:
             rows = []
@@ -488,15 +488,20 @@ def video_info(df: DataFrame) -> DataFrame:
                         continue
                     delays = None
                     if kind == "gif":
-                        frames_delays = list(iter_gif_frames(buf))
-                        frames = [f for f, _ in frames_delays]
-                        delays = [d for _, d in frames_delays]
+                        # header walk only (probe_gif): frame count, dims
+                        # and per-frame delays all live in the image
+                        # descriptors + GCE blocks — decompressing pixels
+                        # for a metadata probe was the r6 cost-model wart
+                        # (the AVI/MP4 branches above never decode either)
+                        n, w, h, delays = probe_gif(buf)
                     else:
                         frames = list(codecs.iter_video_frames(buf))
-                    if not frames:
+                        if not frames:
+                            raise codecs.CodecUnavailable("no frames")
+                        h, w = frames[0].shape[:2]
+                        n = len(frames)
+                    if n < 1:
                         raise codecs.CodecUnavailable("no frames")
-                    h, w = frames[0].shape[:2]
-                    n = len(frames)
                     if delays is not None and sum(delays) > 0:
                         dur = sum(delays) / 100.0
                         fps = n / dur

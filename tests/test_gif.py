@@ -261,3 +261,31 @@ def test_sample_frames_real_gif_video(spark):
         img = codecs.decode_ppm(bytes(r["content"]))[0]
         want = frames[r["frame_idx"]]
         np.testing.assert_array_equal(img, want)
+
+
+def test_probe_gif_matches_full_decode():
+    """video_info's metadata probe must report exactly what the full
+    canvas decode reports — frame count, logical-screen dims and the
+    per-frame delay sequence — across variable-delay animations,
+    single-frame GIFs (no GCE → delay 0) and the mediagen container
+    rotation, without touching the LZW pixel data."""
+    from dataflow_mm_lrt_spark import mediagen
+    from dataflow_mm_lrt_spark.functions.gif import probe_gif
+
+    def full(buf):
+        pairs = list(iter_gif_frames(buf))
+        h, w = pairs[0][0].shape[:2]
+        return len(pairs), w, h, [d for _, d in pairs]
+
+    frames = [np.full((10, 12, 3), c, dtype=np.uint8) for c in (0, 80, 160, 240)]
+    var = encode_gif(frames, delay_cs=[1, 7, 0, 13])
+    assert probe_gif(var) == full(var)
+    single = encode_gif(frames[0])
+    assert probe_gif(single) == full(single)
+    for seed in range(0, 40):
+        if seed % 5 in (2, 4):  # AVI/MP4 ids — not GIFs
+            continue
+        buf = mediagen.synth_video(seed)
+        assert probe_gif(buf) == full(buf)
+    with pytest.raises(codecs.CodecUnavailable):
+        probe_gif(b"not a gif at all")
