@@ -69,9 +69,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _par_scan(df):
+    """Materialized cluster-width spread of a narrow scan (plan barrier).
+
+    The testdata tables are single-row-group parquet files, so a scan is
+    ONE task and every per-row expression chained on it runs on one core
+    (r6 driver artifact: rule_filter 8.5 s wall at 1.3 cores busy). A
+    bare ``repartition`` is not enough for *filters*: Catalyst pushes
+    deterministic predicates back below the exchange (verified on the
+    rule_filter plan), so the spread is persisted — the InMemoryRelation
+    is a pushdown barrier — and registered for ``cache.release_all()``.
+    No-op when the scan already has cluster-width splits (files ≥ cores),
+    so at real scale nothing is cached. Projections don't need this
+    barrier; they use ``dedup._spread`` directly."""
+    from . import cache
+
+    p = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files >= p:
+        return df
+    return cache.scoped_persist(df.repartition(p))
+
+
 def q_rule_filter(spark, sf_dir):
+    # project BEFORE the barrier so the scan still prunes to the two
+    # consumed columns (ReadSchema) and the cached spread is as narrow
+    # as the query needs
     return (
-        _t(spark, sf_dir, "documents")
+        _par_scan(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .filter(F.expr(keep_sql("spark", "text")))
         .select("doc_id")
     )
@@ -108,7 +136,10 @@ def sql_normalize():
 
 
 def q_text_stats(spark, sf_dir):
-    return _t(spark, sf_dir, "documents").select(
+    # spread the single-split scan: the regex/token expression chain is
+    # the cost and runs wherever the scan runs (projections stay above
+    # the exchange, unlike filters — no persist barrier needed)
+    return dedup._spread(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.expr(token_count_sql("spark", "text")).cast("long").alias("n_tokens"),
         F.expr(bpe_ish_token_count_sql("spark", "text")).cast("long").alias("n_tokens_bpe"),
@@ -151,7 +182,11 @@ def sql_chunk_sentences():
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_keep_first(_t(spark, sf_dir, "documents")).select("doc_id")
+    # spread so the fingerprint (normalize+md5 expression) computes at
+    # cluster width instead of inside the single-split scan task
+    return dedup.exact_keep_first(
+        dedup._spread(_t(spark, sf_dir, "documents"))
+    ).select("doc_id")
 
 
 def sql_dedup_exact():
@@ -415,7 +450,7 @@ GROUP BY 1, 2
 
 
 def q_session(spark, sf_dir):
-    return windows.session_windows(_t(spark, sf_dir, "events"))
+    return windows.session_windows(dedup._spread(_t(spark, sf_dir, "events")))
 
 
 def sql_session(gap_seconds: int = 1800):
@@ -497,6 +532,9 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_i
 
 
 def q_assemble_trail(spark, sf_dir):
+    # no spread here: measured 0.94 -> 1.38 s at sf1.0 — the groupBy
+    # shuffles anyway and the map side is a trivial struct projection,
+    # so the extra exchange is pure cost
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn(
@@ -610,7 +648,7 @@ def q_asof_join(spark, sf_dir):
     purchase matched to the user's most recent prior-or-equal view."""
     from .operators import joins
 
-    ev = _t(spark, sf_dir, "events")
+    ev = dedup._spread(_t(spark, sf_dir, "events"))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
@@ -641,7 +679,7 @@ def q_interval_join(spark, sf_dir):
     the same user within 30 minutes."""
     from .operators import joins
 
-    ev = _t(spark, sf_dir, "events")
+    ev = dedup._spread(_t(spark, sf_dir, "events"))
     signups = ev.filter(F.col("event_type") == "signup").select(
         "event_id", "user_id", "ts"
     )
@@ -776,7 +814,7 @@ def q_kmv_distinct(spark, sf_dir):
     from .operators import rollup
 
     out = rollup.kmv_distinct(
-        _t(spark, sf_dir, "events"),
+        dedup._spread(_t(spark, sf_dir, "events")),
         col="cast(user_id as string)",
         k=16,
         by="event_type",
@@ -1269,8 +1307,10 @@ def _conv_turns(spark, sf_dir):
     """Deterministic transcript derived from `events` (the testdata has
     no conversation table): conv=user, turn order=event_id, roles cycle
     human/gpt/system, texts carry multimodal tokens so the strip/skip
-    paths of Conversation2Message are exercised."""
-    ev = _t(spark, sf_dir, "events")
+    paths of Conversation2Message are exercised. Spread: the consumers
+    (messages_assembly, modality_splice) chain token-strip regexes on
+    these rows, which must not run inside the single-split scan task."""
+    ev = dedup._spread(_t(spark, sf_dir, "events"))
     role = (
         F.when(F.col("event_id") % 3 == 0, "human")
         .when(F.col("event_id") % 3 == 1, "gpt")
@@ -1489,7 +1529,7 @@ def q_wiki_qa(spark, sf_dir):
     deterministically constructed article+QA wrapper of each document."""
     from .operators import refine
 
-    docs = _t(spark, sf_dir, "documents").withColumn(
+    docs = dedup._spread(_t(spark, sf_dir, "documents")).withColumn(
         "_clean", F.expr("trim(regexp_replace(text, '\\\\s+', ' '))")
     )
     wiki = docs.withColumn(
@@ -1527,7 +1567,7 @@ def q_answer_eval(spark, sf_dir):
     LLM-free dispatch branches with analytically known rewards."""
     from .operators import refine
 
-    ev = _t(spark, sf_dir, "events")
+    ev = dedup._spread(_t(spark, sf_dir, "events"))
     m = F.col("event_id") % 5
     even = F.col("event_id") % 2 == 0
     qt = (

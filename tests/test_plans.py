@@ -26,16 +26,27 @@ def _plan(df) -> str:
     import contextlib
     import io
 
+    from dataflow_mm_lrt_spark import cache
+
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
+    # queries may register scoped persists (_par_scan spread barriers);
+    # release per-plan so one query's cache cannot substitute into the
+    # next query's plan via the session CacheManager (bench.py does the
+    # same between queries)
+    cache.release_all()
     return buf.getvalue()
 
 
 def test_rule_filter_pushes_predicates_and_prunes(spark):
     plan = _plan(QUERIES["rule_filter"](spark, SF_DIR))
-    assert "PushedFilters: [" in plan
-    assert "StringEndsWith(text,:)" in plan.replace(" ", "")[:0] or "EndsWith" in plan
+    # the narrow single-split fixture scan is spread + persisted
+    # (_par_scan) so the 15-rule predicate chain evaluates at cluster
+    # width; the filter sits ABOVE that barrier, and the scan below it
+    # still prunes to the two consumed columns
+    assert "InMemoryTableScan" in plan
+    assert "EndsWith" in plan
     # only the two needed columns are read
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
