@@ -190,6 +190,25 @@ _P_LETTER2 = re.compile(r"(([a-zA-Z]+)二([a-zA-Z]+))")
 NSW_EXTRA_TRIGGER_CHARS = frozenset({"％", "二"})
 
 
+#: cheap NECESSARY-condition gates for the category passes. Every
+#: non-no-op replacement of a pass requires at least one of the gated
+#: characters in the text at that point (date: a literal 年 or 月 next
+#: to digits; money: a currency unit char; everything but letter-二
+#: -letter: a digit), so skipping a gated-out findall is an identity —
+#: it could only have produced empty or absent matches, whose
+#: ``replace(m, f(m), 1)`` calls were already no-ops. The gates matter
+#: because the \D+-prefixed patterns backtrack O(n²) over long
+#: digit-free stretches (measured 1.25 ms per _P_MONEY.findall on a
+#: 300-char corpus row — the dominant normalize_zh cost).
+_P_HAS_DIGIT = re.compile(r"\d")
+_P_HAS_DATE_CHAR = re.compile("[年月]")
+# money's payload is \d+(\.\d+)?[多余几]?<unit>…: any non-empty match
+# contains this digit→unit adjacency, and probing for it is O(n) with
+# no \D+ backtracking (a bare unit-char probe still let 百分点 rows pay
+# the full quadratic findall)
+_P_HAS_CURRENCY_CHAR = re.compile(r"\d(\.\d+)?[多余几]?[亿万千百元块角毛分]")
+
+
 def normalize_nsw(raw_text: str) -> str:
     """Verbalize dates, money, phone numbers, fractions, percentages,
     quantified cardinals, long digit runs, and remaining cardinals —
@@ -197,27 +216,36 @@ def normalize_nsw(raw_text: str) -> str:
     public cn_tn normalize_nsw."""
     text = "^" + raw_text + "$"
 
-    for m in _P_DATE.findall(text):
-        text = text.replace(m[0], _date_chn(m[0]), 1)
-    for m in _P_MONEY.findall(text):
-        text = text.replace(m[0], _money_chn(m[0]), 1)
-    for m in _P_MOBILE.findall(text):
-        text = text.replace(m[0], _telephone_chn(m[0]), 1)
-    for m in _P_FIXED.findall(text):
-        text = text.replace(m[0], _telephone_chn(m[0], fixed=True), 1)
-    for m in _P_FRACTION.findall(text):
-        text = text.replace(m, _fraction_chn(m), 1)
-    text = text.replace("％", "%")
-    for m in _P_PERCENT.findall(text):
-        text = text.replace(m[0], _percentage_chn(m[0]), 1)
-    for m in _P_QUANTIFIER.findall(text):
-        text = text.replace(m[0], num2chn(m[0]), 1)
-    for m in _P_DIGIT_RUN.findall(text):
-        text = text.replace(m, _digits_chn(m), 1)
-    for m in _P_CARDINAL.findall(text):
-        text = text.replace(m[0], num2chn(m[0]), 1)
+    # no pass below (except ％-fold and letter-二-letter) can rewrite a
+    # digit-free text, and the passes only ever CONSUME digits, so one
+    # up-front probe gates them all
+    if _P_HAS_DIGIT.search(text):
+        if _P_HAS_DATE_CHAR.search(text):
+            for m in _P_DATE.findall(text):
+                text = text.replace(m[0], _date_chn(m[0]), 1)
+        if _P_HAS_CURRENCY_CHAR.search(text):
+            for m in _P_MONEY.findall(text):
+                text = text.replace(m[0], _money_chn(m[0]), 1)
+        for m in _P_MOBILE.findall(text):
+            text = text.replace(m[0], _telephone_chn(m[0]), 1)
+        for m in _P_FIXED.findall(text):
+            text = text.replace(m[0], _telephone_chn(m[0], fixed=True), 1)
+        for m in _P_FRACTION.findall(text):
+            text = text.replace(m, _fraction_chn(m), 1)
+        text = text.replace("％", "%")
+        for m in _P_PERCENT.findall(text):
+            text = text.replace(m[0], _percentage_chn(m[0]), 1)
+        for m in _P_QUANTIFIER.findall(text):
+            text = text.replace(m[0], num2chn(m[0]), 1)
+        for m in _P_DIGIT_RUN.findall(text):
+            text = text.replace(m, _digits_chn(m), 1)
+        for m in _P_CARDINAL.findall(text):
+            text = text.replace(m[0], num2chn(m[0]), 1)
+    else:
+        text = text.replace("％", "%")
     # restore P2P, O2O, B2C, … (letter-二-letter back to the digit)
-    for m in _P_LETTER2.findall(text):
-        text = text.replace(m[0], m[1] + "2" + m[2], 1)
+    if "二" in text:
+        for m in _P_LETTER2.findall(text):
+            text = text.replace(m[0], m[1] + "2" + m[2], 1)
 
     return text.lstrip("^").rstrip("$")

@@ -94,29 +94,37 @@ def lzw_encode(data: bytes, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
+    # int-keyed table: an entry "prefix string + byte" is keyed as
+    # (prefix_code << 8) | byte — same automaton as the textbook
+    # bytes-keyed dict (bit-identical stream), without the per-byte
+    # bytes concatenation/hash (measured ~2.5× on the 64×64 synth)
     code_size = min_code_size + 1
-    table = {bytes([i]): i for i in range(clear)}
+    table: dict[int, int] = {}
     next_code = end + 1
     emit(clear, code_size)
-    buf = b""
+    prev = -1
     for byte in data:
-        cand = buf + bytes([byte])
-        if cand in table:
-            buf = cand
+        if prev < 0:
+            prev = byte
             continue
-        emit(table[buf], code_size)
-        table[cand] = next_code
+        key = (prev << 8) | byte
+        nc = table.get(key)
+        if nc is not None:
+            prev = nc
+            continue
+        emit(prev, code_size)
+        table[key] = next_code
         next_code += 1
         if next_code - 1 == (1 << code_size) and code_size < 12:
             code_size += 1
         elif next_code > 0xFFF:
             emit(clear, code_size)
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             next_code = end + 1
             code_size = min_code_size + 1
-        buf = bytes([byte])
-    if buf:
-        emit(table[buf], code_size)
+        prev = byte
+    if prev >= 0:
+        emit(prev, code_size)
     emit(end, code_size)
     if nbits:
         out.append(acc & 0xFF)

@@ -643,17 +643,20 @@ def encode_jpeg(
             for v in range(vi):
                 for hh in range(hi):
                     zz = comp_coefs[ci][my * vi + v, mx * hi + hh]
-                    diff = int(zz[0]) - pred[ci]
-                    pred[ci] = int(zz[0])
+                    # plain-int access: per-element numpy scalar reads
+                    # (and the 63-step trailing-zero walk) dominated the
+                    # baseline profile at ~2 ms/block-grid
+                    zzl = zz.tolist()
+                    nz = np.nonzero(zz[1:])[0]
+                    last = int(nz[-1]) + 1 if len(nz) else 0
+                    diff = zzl[0] - pred[ci]
+                    pred[ci] = zzl[0]
                     t = _category(diff)
                     val = diff if diff >= 0 else diff + (1 << t) - 1
                     events.append((0, tsel[ci], t, val, t))
                     run = 0
-                    last = 63
-                    while last > 0 and zz[last] == 0:
-                        last -= 1
                     for k in range(1, last + 1):
-                        a = int(zz[k])
+                        a = zzl[k]
                         if a == 0:
                             run += 1
                             continue
@@ -667,17 +670,16 @@ def encode_jpeg(
                     if last < 63:
                         events.append((1, tsel[ci], 0x00, 0, 0))
 
-    # build tables from stats
+    # build tables from stats (one pass over events)
+    freq_by_key: dict[tuple[int, int], dict[int, int]] = {}
+    for etc, etid, sym, _, _ in events:
+        d = freq_by_key.setdefault((etc, etid), {})
+        d[sym] = d.get(sym, 0) + 1
     tables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     codes: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
     for tc in (0, 1):
         for tid in set(tsel):
-            freqs: dict[int, int] = {}
-            for etc, etid, sym, _, _ in events:
-                if etc == tc and etid == tid:
-                    freqs[sym] = freqs.get(sym, 0) + 1
-            if not freqs:
-                freqs = {0: 1}
+            freqs = freq_by_key.get((tc, tid)) or {0: 1}
             bits, huffval = optimal_table(freqs)
             tables[(tc, tid)] = (bits, huffval)
             codes[(tc, tid)] = build_codes(bits, huffval)

@@ -150,18 +150,25 @@ def lzw_encode(data: bytes) -> bytes:
             out.append((acc >> nbits) & 0xFF)
             acc &= (1 << nbits) - 1
 
-    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    # int-keyed table — "prefix + byte" keyed as (prefix_code << 8) |
+    # byte; same automaton as the bytes-keyed dict, bit-identical
+    # stream, no per-byte bytes concatenation (see gif.lzw_encode)
+    table: dict[int, int] = {}
     next_code = 258
     width = 9
     put(CLEAR, width)
-    w = b""
+    w = -1
     for b in data:
-        wk = w + bytes([b])
-        if wk in table:
-            w = wk
+        if w < 0:
+            w = b
             continue
-        put(table[w], width)
-        table[wk] = next_code
+        key = (w << 8) | b
+        nc = table.get(key)
+        if nc is not None:
+            w = nc
+            continue
+        put(w, width)
+        table[key] = next_code
         next_code += 1
         # width pairing: the decoder's table trails this one by exactly
         # one entry, and it bumps (EarlyChange) when ITS size hits
@@ -172,12 +179,12 @@ def lzw_encode(data: bytes) -> bytes:
             width += 1
         if next_code == 4094:  # table nearly full: reset
             put(CLEAR, width)
-            table = {bytes([i]): i for i in range(256)}
+            table = {}
             next_code = 258
             width = 9
-        w = bytes([b])
-    if w:
-        put(table[w], width)
+        w = b
+    if w >= 0:
+        put(w, width)
     put(EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

@@ -111,6 +111,47 @@ def _empty_buf(with_simhash: bool = False) -> pd.DataFrame:
     return pd.DataFrame(cols)
 
 
+#: columnar buffer layout (r7): the buffered run is pickled as a plain
+#: tuple of numpy arrays — (turn_idx i8, ts_us i8, role, text, tool, fp
+#: object[, simhash i8]) — instead of a pandas DataFrame. A DataFrame
+#: pickle carries index/block-manager overhead (~7.9 KB per buffered row
+#: measured in BENCH_r06) and its construction/concat dominated the
+#: per-group Python cost; bare ndarrays pickle as buffers. Old-format
+#: states (DataFrame pickles) are still readable for checkpoint
+#: continuity.
+_N_BUF_ARRS = 6
+
+_HEX = frozenset("0123456789abcdef")
+
+
+def _fp_key(f):
+    """Compact, deterministic state key for a fingerprint: the Catalyst
+    ``md5()`` form (lowercase 32-hex) becomes its 16-byte digest, any
+    other string stays itself. Injective: digests (bytes) and raw
+    strings (str) can never collide, and lowercase-hex → digest is a
+    bijection, so membership semantics are exactly the fp-string
+    semantics."""
+    if len(f) == 32 and not set(f) - _HEX:
+        return bytes.fromhex(f)
+    return f
+
+
+def _cols_from_state(obj, nd: bool):
+    """State payload → tuple of column arrays (legacy DataFrame pickles
+    converted on read)."""
+    if isinstance(obj, tuple):
+        return obj
+    cols = [obj[c].to_numpy() for c in _BUF_COLS]
+    # legacy buffers carry hex-string fps; the columnar layout buffers
+    # compact keys (_fp_key) so re-key on conversion
+    fps = np.empty(len(cols[5]), dtype=object)
+    fps[:] = [_fp_key(f) for f in cols[5]]
+    cols[5] = fps
+    if nd:
+        cols.append(obj["simhash"].to_numpy(dtype=np.int64))
+    return tuple(cols)
+
+
 def make_assembly_func(
     order_slack_ms: int,
     state_ttl_ms: int,
@@ -119,6 +160,8 @@ def make_assembly_func(
     neardup_max_corpus: int = MAX_SEEN_FPS,
 ):
     nd = neardup_threshold is not None
+
+    ncols = _N_BUF_ARRS + (1 if nd else 0)
 
     def assemble(
         key, pdf_iter: Iterator[pd.DataFrame], state: GroupState
@@ -131,100 +174,148 @@ def make_assembly_func(
                 ring = pickle.loads(ring_b)
             else:
                 buf_b, seen_b, emit_seq, last_ts_ms = state.get
-            buf: pd.DataFrame = pickle.loads(buf_b)
+            cols = _cols_from_state(pickle.loads(buf_b), nd)
             loaded = pickle.loads(seen_b)
-            # insertion-ordered dict = emission order (oldest first);
-            # tolerate a set pickled by the pre-cap state layout
-            seen: dict[str, None] = (
-                loaded if isinstance(loaded, dict)
-                else dict.fromkeys(sorted(loaded))
-            )
+            # r7 layout: an emission-ordered LIST of compact keys —
+            # lowercase-32-hex fps (the Catalyst md5 form) stored as
+            # their 16-byte digests, anything else as the raw string. A
+            # dict of hex strings pickled at ~57 B/entry and dominated
+            # state_bytes_peak (BENCH_r06); the digest list is ~20 B.
+            # Legacy layouts (hex-key dict; pre-cap set) convert on read;
+            # hex order equals digest-byte order so ordering is stable.
+            if isinstance(loaded, list):
+                seen_list = loaded
+            elif isinstance(loaded, dict):
+                seen_list = [_fp_key(k) for k in loaded]
+            else:
+                seen_list = [_fp_key(k) for k in sorted(loaded)]
+            seen = set(seen_list)
         else:
-            buf, seen, emit_seq, last_ts_ms = _empty_buf(nd), {}, 0, 0
+            cols = tuple(
+                np.empty(0, dtype=np.int64) if i in (0, 1, _N_BUF_ARRS)
+                else np.empty(0, dtype=object)
+                for i in range(ncols)
+            )
+            seen_list, seen = [], set()
+            emit_seq, last_ts_ms = 0, 0
 
         wm = state.getCurrentWatermarkMs()
 
-        chunks = [buf]
+        chunks = [cols]
         for pdf in pdf_iter:
             if state.hasTimedOut or len(pdf) == 0:
                 continue
-            ts_us = pd.Series(
-                pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
-                // 1_000,
-                index=pdf.index,
+            ts_us = (
+                pdf["ts"].to_numpy(dtype="datetime64[ns]").astype(np.int64)
+                // 1_000
             )
-            cols = {
-                "turn_idx": pdf["turn_idx"].astype("int64"),
-                "ts_us": ts_us,
-                "role": pdf["role"],
-                "text": pdf["text"],
-                "tool": pdf["tool"],
-                "fp": pdf["fp"],
-            }
+            late = ts_us // 1000 >= wm  # deterministic late drop
+            n_fresh = int(late.sum())
+            if n_fresh == 0:
+                continue
+            all_fresh = n_fresh == len(ts_us)
+            fresh_cols = [
+                pdf["turn_idx"].to_numpy(dtype=np.int64),
+                ts_us,
+                pdf["role"].to_numpy(),
+                pdf["text"].to_numpy(),
+                pdf["tool"].to_numpy(),
+                pdf["fp"].to_numpy(),
+            ]
             if nd:
-                cols["simhash"] = pdf["simhash"].astype("int64")
-            fresh = pd.DataFrame(cols)
-            fresh = fresh[fresh["ts_us"] // 1000 >= wm]  # deterministic late drop
-            if len(fresh):
-                chunks.append(fresh)
-                last_ts_ms = max(last_ts_ms, int(fresh["ts_us"].max() // 1000))
-        buf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else buf
-
-        ready_mask = (buf["ts_us"] // 1000 + order_slack_ms) <= wm
-        out = None
-        if bool(ready_mask.any()):
-            ready = (
-                buf[ready_mask]
-                .sort_values(["turn_idx", "ts_us"], kind="mergesort")
-                .reset_index(drop=True)
+                fresh_cols.append(pdf["simhash"].to_numpy(dtype=np.int64))
+            if not all_fresh:
+                fresh_cols = [c[late] for c in fresh_cols]
+            # buffer the compact state key, not the 32-char hex string —
+            # buffered fps are the state's largest per-row payload after
+            # the text itself (state peaks while the watermark trails,
+            # when every arriving turn is buffered)
+            fps = np.empty(len(fresh_cols[5]), dtype=object)
+            fps[:] = [_fp_key(f) for f in fresh_cols[5]]
+            fresh_cols[5] = fps
+            chunks.append(tuple(fresh_cols))
+            last_ts_ms = max(last_ts_ms, int(fresh_cols[1].max() // 1000))
+        if len(chunks) > 1:
+            cols = tuple(
+                np.concatenate([c[i] for c in chunks]) for i in range(ncols)
             )
-            buf = buf[~ready_mask].reset_index(drop=True)
-            # keep-first dedup: drop already-seen fps and intra-flush repeats
-            keep = (~ready["fp"].isin(seen.keys())) & (~ready["fp"].duplicated())
-            emitted = ready[keep.to_numpy()]
-            if nd and len(emitted):
+
+        turn_idx, ts_us = cols[0], cols[1]
+        ready_mask = (ts_us // 1000 + order_slack_ms) <= wm
+        out = None
+        if ready_mask.any():
+            keep_buf = ~ready_mask
+            ready = [c[ready_mask] for c in cols]
+            cols = tuple(c[keep_buf] for c in cols)
+            # stable (turn_idx, ts_us) order — np.lexsort's last key is
+            # primary and it is stable, matching the mergesort sort_values
+            order = np.lexsort((ready[1], ready[0]))
+            ready = [c[order] for c in ready]
+            # keep-first dedup: drop already-seen fps and intra-flush
+            # repeats (buffer already holds compact keys, see _fp_key)
+            digs = ready[5]
+            keep = np.empty(len(digs), dtype=bool)
+            newly: set[bytes] = set()
+            add = newly.add
+            for i, d in enumerate(digs):
+                if d in seen or d in newly:
+                    keep[i] = False
+                else:
+                    keep[i] = True
+                    add(d)
+            if not keep.all():
+                ready = [c[keep] for c in ready]
+                digs = digs[keep]
+            if nd and len(ready[0]):
                 # trailing-corpus near-dup gate (reference sequential
                 # semantics, image_diversity_filter.py:15-34): suppressed
                 # rows never enter the ring OR the seen set
                 from .neardup import trailing_mark
 
                 keep2, _, ring = trailing_mark(
-                    emitted["simhash"].to_numpy(dtype=np.int64),
-                    ring,
-                    neardup_threshold,
-                    neardup_max_corpus,
+                    ready[_N_BUF_ARRS], ring,
+                    neardup_threshold, neardup_max_corpus,
                 )
-                emitted = emitted[keep2]
-            seen.update(dict.fromkeys(emitted["fp"].tolist()))
+                if not keep2.all():
+                    ready = [c[keep2] for c in ready]
+                    digs = digs[keep2]
+            n_emit = len(ready[0])
+            seen_list.extend(digs.tolist())
             # bounded state: deterministic oldest-first (emission-order)
             # eviction at the reference's max_corpus=10000 analogue
-            while len(seen) > max_seen_fps:
-                del seen[next(iter(seen))]
-            if len(emitted):
+            if len(seen_list) > max_seen_fps:
+                seen_list = seen_list[len(seen_list) - max_seen_fps :]
+            if n_emit:
                 out = pd.DataFrame(
                     {
-                        "conv_id": np.repeat(conv_id, len(emitted)),
-                        "turn_idx": emitted["turn_idx"].astype("int32"),
-                        "role": emitted["role"],
-                        "text": emitted["text"],
-                        "tool": emitted["tool"],
-                        "ts": pd.to_datetime(emitted["ts_us"], unit="us"),
+                        "conv_id": np.repeat(conv_id, n_emit),
+                        "turn_idx": ready[0].astype("int32"),
+                        "role": ready[2],
+                        "text": ready[3],
+                        "tool": ready[4],
+                        "ts": ready[1].astype("datetime64[us]").astype(
+                            "datetime64[ns]"
+                        ),
                         "emit_seq": np.arange(
-                            emit_seq, emit_seq + len(emitted), dtype="int64"
+                            emit_seq, emit_seq + n_emit, dtype="int64"
                         ),
                     }
                 )
-                emit_seq += len(emitted)
+                emit_seq += n_emit
 
-        if len(buf) == 0 and state.hasTimedOut and wm >= last_ts_ms + state_ttl_ms:
+        n_buf = len(cols[0])
+        if n_buf == 0 and state.hasTimedOut and wm >= last_ts_ms + state_ttl_ms:
             state.remove()
         else:
-            fields = [pickle.dumps(buf), pickle.dumps(seen), emit_seq, last_ts_ms]
+            fields = [
+                pickle.dumps(cols), pickle.dumps(seen_list),
+                emit_seq, last_ts_ms,
+            ]
             if nd:
                 fields.append(pickle.dumps(ring))
             state.update(tuple(fields))
-            if len(buf):
-                nxt = int(buf["ts_us"].min() // 1000) + order_slack_ms
+            if n_buf:
+                nxt = int(cols[1].min() // 1000) + order_slack_ms
             else:
                 nxt = last_ts_ms + state_ttl_ms
             state.setTimeoutTimestamp(max(nxt, wm + 1))
