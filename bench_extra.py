@@ -83,7 +83,9 @@ def main() -> None:
                 "cpu_core_sec": round((b1 - b0) / _HZ, 2),
             })
             spark.sparkContext.setJobDescription(None)
-            cache.release_all()
+        # release AFTER a query's runs, exactly like bench.py — scoped
+        # persists are per-query caches the driver's min-of-N reuses
+        cache.release_all()
         out[name] = runs
         print(json.dumps({name: runs}), flush=True)
     print(json.dumps({"summary": {k: min(r["sec"] for r in v) for k, v in out.items()}}))
