@@ -105,6 +105,37 @@ class BitWriter:
             self._val >>= 8
             self._have -= 8
 
+    def write_fields(self, values: np.ndarray, widths: np.ndarray) -> None:
+        """Vectorized append of many LSB-first fields (value_i in
+        width_i bits, in array order) — emits exactly the bytes the
+        per-field ``write`` loop would. Zero-width fields are skipped
+        by construction (they occupy no bit positions)."""
+        widths = widths.astype(np.int64)
+        values = values.astype(np.int64)
+        total = int(widths.sum())
+        if total == 0:
+            return
+        ends = np.cumsum(widths)
+        starts = ends - widths
+        bits = np.zeros(self._have + total, dtype=np.uint8)
+        # lead-in: pending sub-byte bits of the accumulator, LSB-first
+        for i in range(self._have):
+            bits[i] = (self._val >> i) & 1
+        off = self._have
+        wmax = int(widths.max()) if len(widths) else 0
+        for t in range(wmax):
+            sel = widths > t
+            bits[off + starts[sel] + t] = (values[sel] >> t) & 1
+        nbytes = len(bits) >> 3
+        self._bytes += np.packbits(
+            bits[: nbytes * 8], bitorder="little"
+        ).tobytes()
+        rem = bits[nbytes * 8 :]
+        self._val = 0
+        self._have = len(rem)
+        for i, b in enumerate(rem):
+            self._val |= int(b) << i
+
     def getvalue(self) -> bytes:
         out = bytearray(self._bytes)
         if self._have:
@@ -738,30 +769,70 @@ def _reverse_code(code: int, length: int) -> int:
     return r
 
 
+def _run_starts(eq: np.ndarray) -> np.ndarray:
+    """For a boolean array, R[j] = length of the True run starting at j
+    (0 when eq[j] is False) — vectorized via next-False positions."""
+    n = len(eq)
+    zeros = np.flatnonzero(~eq)
+    nxt = np.empty(n, dtype=np.int64)
+    # next False at or after j
+    nxt_idx = np.searchsorted(zeros, np.arange(n), side="left")
+    has = nxt_idx < len(zeros)
+    nxt[has] = zeros[nxt_idx[has]]
+    nxt[~has] = n
+    return nxt - np.arange(n)
+
+
 def _tokenize(argb: np.ndarray, xsize: int):
     """Greedy run tokenizer: literals plus backward copies at dist=1
-    (horizontal run) and dist=xsize (vertical copy), min length 3."""
+    (horizontal run) and dist=xsize (vertical copy), min length 3.
+    Match lengths are precomputed as vectorized run arrays; the greedy
+    walk itself visits one entry per TOKEN (same tokens as the old
+    per-pixel scan, bit-identical output)."""
     flat = argb.reshape(-1)
     n = len(flat)
+    # m_d[p] = match length at p for distance d = True-run of
+    # flat[j] == flat[j-d] starting at j=p (0 for p < d)
+    lens = {}
+    for dist in {1, xsize}:
+        if dist == 0 or dist >= n:
+            lens[dist] = None
+            continue
+        eq = flat[dist:] == flat[:-dist]
+        r = _run_starts(eq)
+        m = np.zeros(n, dtype=np.int64)
+        m[dist:] = r
+        lens[dist] = m.tolist()
+    m1 = lens.get(1)
+    mw = lens.get(xsize)
+    flat_l = flat.tolist()
     tokens = []  # ("lit", px) | ("copy", length, dist)
     pos = 0
+    append = tokens.append
+    z = [0] * n
+    l1a = m1 if m1 is not None else z
+    lwa = mw if mw is not None else z
     while pos < n:
-        best_len, best_dist = 0, 0
-        for dist in (1, xsize):
-            if dist == 0 or pos < dist:
-                continue
-            length = 0
-            limit = min(4096, n - pos)
-            while length < limit and flat[pos + length] == flat[pos + length - dist]:
-                length += 1
-            if length > best_len:
-                best_len, best_dist = length, dist
+        l1 = l1a[pos]
+        lw = lwa[pos]
+        best_len, best_dist = (lw, xsize) if lw > l1 else (l1, 1)
         if best_len >= 3:
-            tokens.append(("copy", best_len, best_dist))
-            pos += best_len
-        else:
-            tokens.append(("lit", int(flat[pos])))
-            pos += 1
+            # compare lengths CAPPED at the scan limit, like the
+            # per-pixel scan did (ties and both-over-limit cases prefer
+            # dist=1); only pay for the cap when a copy is plausible
+            limit = n - pos
+            if limit > 4096:
+                limit = 4096
+            if best_len > limit:
+                l1c = l1 if l1 < limit else limit
+                lwc = lw if lw < limit else limit
+                best_len, best_dist = (lwc, xsize) if lwc > l1c else (l1c, 1)
+            if best_len >= 3:
+                append(("copy", best_len, best_dist))
+                pos += best_len
+                continue
+        append(("lit", flat_l[pos]))
+        pos += 1
     return tokens
 
 
@@ -794,21 +865,29 @@ def encode_vp8l(img: np.ndarray, subtract_green: bool = True) -> bytes:
     bw.write(0, 1)  # no meta prefix codes
 
     tokens = _tokenize(argb, w)
-    freqs: list[dict[int, int]] = [{}, {}, {}, {}, {}]  # g+len, r, b, a, dist
-
-    def bump(d, k):
-        d[k] = d.get(k, 0) + 1
-
-    for t in tokens:
-        if t[0] == "lit":
-            px = t[1]
-            bump(freqs[0], (px >> 8) & 0xFF)
-            bump(freqs[1], (px >> 16) & 0xFF)
-            bump(freqs[2], px & 0xFF)
-            bump(freqs[3], px >> 24)
-        else:
-            bump(freqs[0], 256 + prefix_encode(t[1])[0])
-            bump(freqs[4], prefix_encode(t[2] + 120)[0])
+    # symbol stats: literal channels via bincount, copies via a (short)
+    # Python pass — identical frequencies to the per-token bump loop
+    lit_idx = np.flatnonzero(
+        np.fromiter((t[0] == "lit" for t in tokens), dtype=bool,
+                    count=len(tokens))
+    )
+    px = np.fromiter(
+        (tokens[i][1] for i in lit_idx), dtype=np.int64, count=len(lit_idx)
+    )
+    gs, rs, bs, al = (px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF, px >> 24
+    freqs: list[dict[int, int]] = [
+        {s: int(c) for s, c in enumerate(np.bincount(gs, minlength=1)) if c},
+        {s: int(c) for s, c in enumerate(np.bincount(rs, minlength=1)) if c},
+        {s: int(c) for s, c in enumerate(np.bincount(bs, minlength=1)) if c},
+        {s: int(c) for s, c in enumerate(np.bincount(al, minlength=1)) if c},
+        {},
+    ]
+    copies = [(i, t[1], t[2]) for i, t in enumerate(tokens) if t[0] != "lit"]
+    for _, length, dist in copies:
+        k = 256 + prefix_encode(length)[0]
+        freqs[0][k] = freqs[0].get(k, 0) + 1
+        dk = prefix_encode(dist + 120)[0]
+        freqs[4][dk] = freqs[4].get(dk, 0) + 1
 
     writers = [
         _CodeWriter(freqs[0], 256 + 24),
@@ -819,20 +898,32 @@ def encode_vp8l(img: np.ndarray, subtract_green: bool = True) -> bytes:
     ]
     for cw in writers:
         cw.write_definition(bw)
-    for t in tokens:
-        if t[0] == "lit":
-            px = t[1]
-            writers[0].write_symbol(bw, (px >> 8) & 0xFF)
-            writers[1].write_symbol(bw, (px >> 16) & 0xFF)
-            writers[2].write_symbol(bw, px & 0xFF)
-            writers[3].write_symbol(bw, px >> 24)
-        else:
-            code, extra, nbits = prefix_encode(t[1])
-            writers[0].write_symbol(bw, 256 + code)
-            bw.write(extra, nbits)
-            dcode, dextra, dnbits = prefix_encode(t[2] + 120)
-            writers[4].write_symbol(bw, dcode)
-            bw.write(dextra, dnbits)
+    # vectorized entropy emission: every token expands to exactly four
+    # (value, width) fields in order — lit: G/R/B/A codes; copy: G
+    # length code, length extra bits, distance code, distance extra
+    # bits — emitted via one write_fields call (bit-identical to the
+    # per-symbol write loop; zero-width fields emit nothing)
+    revs, lns = [], []
+    for cw in writers:
+        alpha = max(cw.codes) + 1 if cw.codes else 1
+        rv = np.zeros(alpha, dtype=np.int64)
+        ln = np.zeros(alpha, dtype=np.int64)
+        for sym, (length, code) in cw.codes.items():
+            ln[sym] = length
+            rv[sym] = _reverse_code(code, length)
+        revs.append(rv)
+        lns.append(ln)
+    V = np.zeros((len(tokens), 4), dtype=np.int64)
+    W = np.zeros((len(tokens), 4), dtype=np.int64)
+    for lane, syms in ((0, gs), (1, rs), (2, bs), (3, al)):
+        V[lit_idx, lane] = revs[lane][syms]
+        W[lit_idx, lane] = lns[lane][syms]
+    for i, length, dist in copies:
+        code, extra, nbits = prefix_encode(length)
+        dcode, dextra, dnbits = prefix_encode(dist + 120)
+        V[i] = (revs[0][256 + code], extra, revs[4][dcode], dextra)
+        W[i] = (lns[0][256 + code], nbits, lns[4][dcode], dnbits)
+    bw.write_fields(V.ravel(), W.ravel())
     return bw.getvalue()
 
 
