@@ -64,9 +64,9 @@ def load_table(
                 "org.apache.iceberg:iceberg-spark-runtime to spark.jars.packages "
                 "(sandbox note: jar absent by design; ManifestSink provides the "
                 "commit-protocol-compatible local stand-in. Re-verified "
-                "2026-08-18: no iceberg jar under /opt/spark/jars or ~/.ivy2, "
-                "filesystem sweep empty, repo1.maven.org DNS-unreachable — "
-                "environment debt, not code debt)"
+                "2026-08-22: no iceberg jar under /opt/spark/jars, no "
+                "~/.ivy2 cache, no network — environment debt, not code "
+                "debt)"
             )
         return spark.read.format("iceberg").options(**options).load(
             uri[len("iceberg:"):]
