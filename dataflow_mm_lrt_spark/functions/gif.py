@@ -322,7 +322,20 @@ def encode_gif(
             )
     h, w = frames[0].shape[:2]
     stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
-    palette, inverse = np.unique(stacked, axis=0, return_inverse=True)
+    # pack RGB rows into one uint32 so np.unique runs on a 1-D int array
+    # (axis=0 unique sorts void-dtype rows — ~10x slower); lexicographic
+    # (r, g, b) row order equals numeric order of the packed key, so
+    # palette and inverse indices are identical
+    packed = (
+        (stacked[:, 0].astype(np.uint32) << 16)
+        | (stacked[:, 1].astype(np.uint32) << 8)
+        | stacked[:, 2]
+    )
+    upacked, inverse = np.unique(packed, return_inverse=True)
+    palette = np.empty((len(upacked), 3), dtype=np.uint8)
+    palette[:, 0] = upacked >> 16
+    palette[:, 1] = (upacked >> 8) & 0xFF
+    palette[:, 2] = upacked & 0xFF
     if len(palette) > 256:
         raise ValueError(f"{len(palette)} colors exceed GIF's 256")
     # color-table size must be a power of two ≥ 2
