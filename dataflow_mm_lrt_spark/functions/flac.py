@@ -77,12 +77,45 @@ def crc8(data: bytes) -> int:
     return c
 
 
+#: _CRC16_DIST[d][b] = CRC-16 of byte b followed by d zero bytes. A
+#: zero-init, no-final-xor CRC is GF(2)-linear in the message, so
+#: crc16(m) = XOR_i _CRC16_DIST[len-1-i][m[i]] — one fancy-index gather
+#: plus an XOR reduction instead of a per-byte Python loop. The table
+#: grows lazily (vectorized one-zero-byte step per row) to the longest
+#: message seen; FLAC frames are a few KB.
+_CRC16_DIST = _CRC16_TBL.astype(np.uint16)[np.newaxis, :].copy()
+
+
+def _crc16_dist(n: int) -> np.ndarray:
+    global _CRC16_DIST
+    t = _CRC16_DIST
+    while len(t) < n:
+        grow = min(max(len(t), 1024), n - len(t))
+        ext = np.empty((grow, 256), dtype=np.uint16)
+        prev = t[-1]
+        for i in range(grow):
+            prev = (
+                _CRC16_TBL[(prev >> 8).astype(np.int64)].astype(np.uint16)
+                ^ (prev << 8)
+            )
+            ext[i] = prev
+        t = np.concatenate([t, ext])
+    _CRC16_DIST = t
+    return t
+
+
 def crc16(data: bytes) -> int:
-    c = 0
-    tbl = _CRC16_LIST
-    for b in data:
-        c = tbl[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
-    return c
+    n = len(data)
+    if n < 32:  # table/gather overhead beats the loop only past ~32 B
+        c = 0
+        tbl = _CRC16_LIST
+        for b in data:
+            c = tbl[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+        return c
+    t = _crc16_dist(n)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    contrib = t[np.arange(n - 1, -1, -1), arr]
+    return int(np.bitwise_xor.reduce(contrib))
 
 
 # ---------------------------------------------------------------------------
@@ -272,15 +305,27 @@ def _read_rice_vec(r: _BitReader, n: int, k: int) -> np.ndarray:
         raise ValueError("FLAC bitstream truncated in unary run")
     # F[j'-j] = ones-index of the NEXT code's stop bit, given this
     # code's stop is ones[j']: first one at/after ones[j'] + 1 + k
-    nxt = C[np.minimum(O[j:jmax] + 1 + k, total)].tolist()
-    js = np.empty(n, dtype=np.int64)
-    cur = j
-    for i in range(n):
-        ci = cur - j
-        if ci >= len(nxt):
-            raise ValueError("FLAC bitstream truncated in unary run")
-        js[i] = cur
-        cur = nxt[ci]
+    m = jmax - j
+    nxt = C[np.minimum(O[j:jmax] + 1 + k, total)] - j
+    # orbit of 0 under the successor map by pointer doubling: each
+    # round extends the known orbit A (L entries) to 2L by one gather
+    # through the L-step jump map P, then squares P — O(m log n)
+    # vectorized work instead of n sequential list indexations.
+    # Entries that leave the window clamp to the sentinel m (the scalar
+    # chase raised "truncated" on first use of such an entry; the
+    # equivalent check is any sentinel among the first n orbit slots).
+    # Pg = S^L with domain 0..m; Pg[m] = m absorbs, so composition
+    # Pg[Pg] and the window check below need no special-casing
+    Pg = np.append(np.minimum(nxt, m), m)
+    A = np.zeros(1, dtype=np.int64)
+    while len(A) < n:
+        take = min(len(A), n - len(A))
+        A = np.concatenate([A, Pg[A[:take]]])
+        if len(A) < n:
+            Pg = Pg[Pg]
+    if int(A.max()) >= m:
+        raise ValueError("FLAC bitstream truncated in unary run")
+    js = A + j
     stops = O[js]
     if int(stops[-1]) + 1 + k > total:
         raise ValueError("FLAC bitstream truncated")
