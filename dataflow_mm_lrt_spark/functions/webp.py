@@ -387,42 +387,223 @@ def _decode_entropy_image(
     groups = _read_groups(br, n_groups, cache_bits)
 
     n = xsize * ysize
-    out = np.zeros(n, dtype=np.uint64)
+    out = [0] * n  # plain ints: list get/set beats numpy scalar access
     pos = 0
     shift = 32 - cache_bits if cache_bits else 0
-    while pos < n:
-        if meta is not None:
-            y, x = divmod(pos, xsize)
-            g = groups[int(meta[y >> meta_bits, x >> meta_bits])]
-        else:
-            g = groups[0]
-        green, red, blue, alpha, dist_code = g
-        s = green.read(br)
-        if s < 256:
-            r = red.read(br)
-            b = blue.read(br)
-            a = alpha.read(br)
-            px = (a << 24) | (r << 16) | (s << 8) | b
-            out[pos] = px
-            pos += 1
-            if cache_bits:
-                cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> shift] = px
-        elif s < 256 + 24:
-            length = prefix_value(br, s - 256)
-            dist = plane_code_to_distance(xsize, prefix_value(br, dist_code.read(br)))
-            if dist > pos or pos + length > n:
-                raise ValueError("LZ77 reference out of bounds")
-            for _ in range(length):
-                px = int(out[pos - dist])
+
+    # ---- inlined symbol decode -------------------------------------
+    # The per-symbol cost of _Decoder.read + BitReader.peek (two method
+    # calls, repeated attribute loads) dominated decode; the hot loop
+    # below keeps the bit register in locals and reads symbols inline.
+    # Semantics are read()'s exactly: LUT hit consumes its length (a
+    # zero-padded match past end-of-data raises), LUT miss walks the
+    # (length, code) table bit by bit to 15.
+    grp_pre = [
+        [(dec.lone, dec.lut, dec.root, (1 << dec.root) - 1, dec.table)
+         for dec in g]
+        for g in groups
+    ]
+    d = br._d
+    dn = len(d)
+    val = br._val
+    have = br._have
+    bytep = br._byte
+
+    try:
+        g_pre = grp_pre[0]
+        while pos < n:
+            if meta is not None:
+                y, x = divmod(pos, xsize)
+                g_pre = grp_pre[int(meta[y >> meta_bits, x >> meta_bits])]
+            lo, lut, root, rmask, tbl = g_pre[0]
+            if lo is not None:
+                s = lo
+            else:
+                while have < root and bytep < dn:
+                    val |= d[bytep] << have
+                    bytep += 1
+                    have += 8
+                ent = lut[val & rmask]
+                if ent >= 0:
+                    ln = ent & 31
+                    if have < ln:
+                        raise ValueError("truncated VP8L stream")
+                    val >>= ln
+                    have -= ln
+                    s = ent >> 5
+                else:
+                    code = 0
+                    length = 0
+                    s = -1
+                    while length <= 15:
+                        if not have:
+                            if bytep >= dn:
+                                raise ValueError("truncated VP8L stream")
+                            val |= d[bytep] << have
+                            bytep += 1
+                            have += 8
+                        code = (code << 1) | (val & 1)
+                        val >>= 1
+                        have -= 1
+                        length += 1
+                        s2 = tbl.get((length, code))
+                        if s2 is not None:
+                            s = s2
+                            break
+                    if s < 0:
+                        raise ValueError("invalid prefix code")
+            if s < 256:
+                chan = [0, 0, 0]
+                for ci in (1, 2, 3):
+                    lo, lut, root, rmask, tbl = g_pre[ci]
+                    if lo is not None:
+                        chan[ci - 1] = lo
+                        continue
+                    while have < root and bytep < dn:
+                        val |= d[bytep] << have
+                        bytep += 1
+                        have += 8
+                    ent = lut[val & rmask]
+                    if ent >= 0:
+                        ln = ent & 31
+                        if have < ln:
+                            raise ValueError("truncated VP8L stream")
+                        val >>= ln
+                        have -= ln
+                        chan[ci - 1] = ent >> 5
+                    else:
+                        code = 0
+                        length = 0
+                        sym = -1
+                        while length <= 15:
+                            if not have:
+                                if bytep >= dn:
+                                    raise ValueError(
+                                        "truncated VP8L stream"
+                                    )
+                                val |= d[bytep] << have
+                                bytep += 1
+                                have += 8
+                            code = (code << 1) | (val & 1)
+                            val >>= 1
+                            have -= 1
+                            length += 1
+                            s2 = tbl.get((length, code))
+                            if s2 is not None:
+                                sym = s2
+                                break
+                        if sym < 0:
+                            raise ValueError("invalid prefix code")
+                        chan[ci - 1] = sym
+                r, b, a = chan
+                px = (a << 24) | (r << 16) | (s << 8) | b
                 out[pos] = px
                 pos += 1
                 if cache_bits:
                     cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> shift] = px
-        else:
-            px = cache[s - 256 - 24]
-            out[pos] = px
-            pos += 1
-    return out.reshape(ysize, xsize).astype(np.uint32)
+            elif s < 256 + 24:
+                code = s - 256
+                if code < 4:
+                    length = code + 1
+                else:
+                    extra = (code - 2) >> 1
+                    while have < extra:
+                        if bytep >= dn:
+                            raise ValueError("truncated VP8L stream")
+                        val |= d[bytep] << have
+                        bytep += 1
+                        have += 8
+                    length = (
+                        ((2 + (code & 1)) << extra)
+                        + (val & ((1 << extra) - 1)) + 1
+                    )
+                    val >>= extra
+                    have -= extra
+                # distance prefix symbol
+                lo, lut, root, rmask, tbl = g_pre[4]
+                if lo is not None:
+                    dsym = lo
+                else:
+                    while have < root and bytep < dn:
+                        val |= d[bytep] << have
+                        bytep += 1
+                        have += 8
+                    ent = lut[val & rmask]
+                    if ent >= 0:
+                        ln = ent & 31
+                        if have < ln:
+                            raise ValueError("truncated VP8L stream")
+                        val >>= ln
+                        have -= ln
+                        dsym = ent >> 5
+                    else:
+                        code2 = 0
+                        length2 = 0
+                        dsym = -1
+                        while length2 <= 15:
+                            if not have:
+                                if bytep >= dn:
+                                    raise ValueError(
+                                        "truncated VP8L stream"
+                                    )
+                                val |= d[bytep] << have
+                                bytep += 1
+                                have += 8
+                            code2 = (code2 << 1) | (val & 1)
+                            val >>= 1
+                            have -= 1
+                            length2 += 1
+                            s2 = tbl.get((length2, code2))
+                            if s2 is not None:
+                                dsym = s2
+                                break
+                        if dsym < 0:
+                            raise ValueError("invalid prefix code")
+                if dsym < 4:
+                    dval = dsym + 1
+                else:
+                    extra = (dsym - 2) >> 1
+                    while have < extra:
+                        if bytep >= dn:
+                            raise ValueError("truncated VP8L stream")
+                        val |= d[bytep] << have
+                        bytep += 1
+                        have += 8
+                    dval = (
+                        ((2 + (dsym & 1)) << extra)
+                        + (val & ((1 << extra) - 1)) + 1
+                    )
+                    val >>= extra
+                    have -= extra
+                dist = plane_code_to_distance(xsize, dval)
+                if dist > pos or pos + length > n:
+                    raise ValueError("LZ77 reference out of bounds")
+                if cache_bits:
+                    for _ in range(length):
+                        px = out[pos - dist]
+                        out[pos] = px
+                        pos += 1
+                        cache[(_CACHE_MULT * px & 0xFFFFFFFF) >> shift] = px
+                else:
+                    src = pos - dist
+                    if dist >= length:
+                        out[pos : pos + length] = out[src : src + length]
+                        pos += length
+                    else:
+                        for _ in range(length):
+                            out[pos] = out[pos - dist]
+                            pos += 1
+            else:
+                px = cache[s - 256 - 24]
+                out[pos] = px
+                pos += 1
+    finally:
+        br._val = val
+        br._have = have
+        br._byte = bytep
+    return np.array(out, dtype=np.uint64).reshape(ysize, xsize).astype(
+        np.uint32
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -806,9 +987,15 @@ def _tokenize(argb: np.ndarray, xsize: int):
     m1 = lens.get(1)
     mw = lens.get(xsize)
     flat_l = flat.tolist()
-    tokens = []  # ("lit", px) | ("copy", length, dist)
+    # three parallel per-token columns (val = pixel for literals, copy
+    # length for copies; dist = 0 marks a literal) — same token
+    # sequence as the old list-of-tuples, returned as arrays so the
+    # caller's stats/emission passes are single numpy expressions
+    # instead of per-token generator scans
+    tvals: list[int] = []
+    tdists: list[int] = []
     pos = 0
-    append = tokens.append
+    av, ad = tvals.append, tdists.append
     z = [0] * n
     l1a = m1 if m1 is not None else z
     lwa = mw if mw is not None else z
@@ -828,12 +1015,17 @@ def _tokenize(argb: np.ndarray, xsize: int):
                 lwc = lw if lw < limit else limit
                 best_len, best_dist = (lwc, xsize) if lwc > l1c else (l1c, 1)
             if best_len >= 3:
-                append(("copy", best_len, best_dist))
+                av(best_len)
+                ad(best_dist)
                 pos += best_len
                 continue
-        append(("lit", flat_l[pos]))
+        av(flat_l[pos])
+        ad(0)
         pos += 1
-    return tokens
+    return (
+        np.array(tvals, dtype=np.int64),
+        np.array(tdists, dtype=np.int64),
+    )
 
 
 def encode_vp8l(img: np.ndarray, subtract_green: bool = True) -> bytes:
@@ -864,16 +1056,13 @@ def encode_vp8l(img: np.ndarray, subtract_green: bool = True) -> bytes:
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix codes
 
-    tokens = _tokenize(argb, w)
+    tvals, tdists = _tokenize(argb, w)
+    n_tokens = len(tvals)
     # symbol stats: literal channels via bincount, copies via a (short)
     # Python pass — identical frequencies to the per-token bump loop
-    lit_idx = np.flatnonzero(
-        np.fromiter((t[0] == "lit" for t in tokens), dtype=bool,
-                    count=len(tokens))
-    )
-    px = np.fromiter(
-        (tokens[i][1] for i in lit_idx), dtype=np.int64, count=len(lit_idx)
-    )
+    lit_mask = tdists == 0
+    lit_idx = np.flatnonzero(lit_mask)
+    px = tvals[lit_idx]
     gs, rs, bs, al = (px >> 8) & 0xFF, (px >> 16) & 0xFF, px & 0xFF, px >> 24
     freqs: list[dict[int, int]] = [
         {s: int(c) for s, c in enumerate(np.bincount(gs, minlength=1)) if c},
@@ -882,7 +1071,10 @@ def encode_vp8l(img: np.ndarray, subtract_green: bool = True) -> bytes:
         {s: int(c) for s, c in enumerate(np.bincount(al, minlength=1)) if c},
         {},
     ]
-    copies = [(i, t[1], t[2]) for i, t in enumerate(tokens) if t[0] != "lit"]
+    cop_idx = np.flatnonzero(~lit_mask)
+    copies = list(
+        zip(cop_idx.tolist(), tvals[cop_idx].tolist(), tdists[cop_idx].tolist())
+    )
     for _, length, dist in copies:
         k = 256 + prefix_encode(length)[0]
         freqs[0][k] = freqs[0].get(k, 0) + 1
@@ -913,8 +1105,8 @@ def encode_vp8l(img: np.ndarray, subtract_green: bool = True) -> bytes:
             rv[sym] = _reverse_code(code, length)
         revs.append(rv)
         lns.append(ln)
-    V = np.zeros((len(tokens), 4), dtype=np.int64)
-    W = np.zeros((len(tokens), 4), dtype=np.int64)
+    V = np.zeros((n_tokens, 4), dtype=np.int64)
+    W = np.zeros((n_tokens, 4), dtype=np.int64)
     for lane, syms in ((0, gs), (1, rs), (2, bs), (3, al)):
         V[lit_idx, lane] = revs[lane][syms]
         W[lit_idx, lane] = lns[lane][syms]
