@@ -46,40 +46,64 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     n in -127..-1 → repeat next byte 1-n times; -128 is a no-op."""
     out = bytearray()
     i = 0
-    while i < len(data) and len(out) < expected:
+    dn = len(data)
+    outlen = 0
+    while i < dn and outlen < expected:
         n = data[i]
         i += 1
         if n < 128:
             out += data[i : i + n + 1]
+            outlen += n + 1
             i += n + 1
         elif n > 128:
             out += data[i : i + 1] * (257 - n)
+            outlen += 257 - n
             i += 1
         # n == 128: no-op
     return bytes(out[:expected])
 
 
 def packbits_encode(data: bytes) -> bytes:
-    """Run-length PackBits encoder (greedy: runs ≥ 3 become repeats)."""
+    """Run-length PackBits encoder (greedy: runs ≥ 3 become repeats).
+
+    Vectorized restatement of the byte-at-a-time greedy scan (same
+    output bytes): R[i] = remaining equal-byte run at i from the change
+    points; a repeat token consumes min(R, 128); a literal block ends
+    at the next position whose (uncapped) run is ≥ 3, the 128 cap, or
+    end of data — the per-token walk replaces three nested per-byte
+    loops."""
+    n = len(data)
+    if n == 0:
+        return b""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    # change[c] = start of each maximal equal run; R[i] = run end - i
+    change = np.flatnonzero(np.diff(arr.astype(np.int16)) != 0) + 1
+    ends = np.append(change, n)  # run end for each maximal run
+    run_id = np.zeros(n, dtype=np.int64)
+    run_id[change] = 1
+    run_id = np.cumsum(run_id)
+    R = ends[run_id] - np.arange(n)
+    pos3 = np.flatnonzero(R >= 3)  # literal-break positions
+    Rl = R.tolist()
     out = bytearray()
-    i, n = 0, len(data)
+    i = 0
+    p3i = 0
+    np3 = len(pos3)
     while i < n:
-        run = 1
-        while i + run < n and run < 128 and data[i + run] == data[i]:
-            run += 1
-        if run >= 3:
+        r = Rl[i]
+        if r >= 3:
+            run = 128 if r > 128 else r
             out += bytes([257 - run, data[i]])
             i += run
             continue
-        lit_start = i
-        while i < n and i - lit_start < 128:
-            run = 1
-            while i + run < n and run < 3 and data[i + run] == data[i]:
-                run += 1
-            if run >= 3:
-                break
-            i += 1
-        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+        # next literal break at/after i (monotone scan over pos3)
+        while p3i < np3 and pos3[p3i] < i:
+            p3i += 1
+        j = int(pos3[p3i]) if p3i < np3 else n
+        if j > i + 128:
+            j = i + 128
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
     return bytes(out)
 
 
@@ -101,9 +125,12 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
         prev = None
 
     reset()
-    while len(out) < expected:
+    dn = len(data)
+    tlen = len(table)
+    outlen = 0
+    while outlen < expected:
         while nbits < width:
-            if pos >= len(data):
+            if pos >= dn:
                 return bytes(out[:expected])
             acc = (acc << 8) | data[pos]
             pos += 1
@@ -113,23 +140,27 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
         acc &= (1 << nbits) - 1
         if code == CLEAR:
             reset()
+            tlen = len(table)
             continue
         if code == EOI:
             break
         if prev is None:
             entry = table[code]
-        elif code < len(table):
+        elif code < tlen:
             entry = table[code]
             table.append(prev + entry[:1])
-        elif code == len(table):
+            tlen += 1
+        elif code == tlen:
             entry = prev + prev[:1]
             table.append(entry)
+            tlen += 1
         else:
             raise ValueError("corrupt TIFF-LZW stream")
         out += entry
+        outlen += len(entry)
         prev = entry
         # EarlyChange: width grows one code before the table fills
-        if len(table) == (1 << width) - 1 and width < 12:
+        if tlen == (1 << width) - 1 and width < 12:
             width += 1
     return bytes(out[:expected])
 
@@ -152,8 +183,12 @@ def lzw_encode(data: bytes) -> bytes:
 
     # int-keyed table — "prefix + byte" keyed as (prefix_code << 8) |
     # byte; same automaton as the bytes-keyed dict, bit-identical
-    # stream, no per-byte bytes concatenation (see gif.lzw_encode)
+    # stream, no per-byte bytes concatenation (see gif.lzw_encode).
+    # Code emission is inlined (the `put` closure's nonlocal writes cost
+    # ~0.5 us per emitted code); `put` above remains for the tail path.
     table: dict[int, int] = {}
+    get = table.get
+    append = out.append
     next_code = 258
     width = 9
     put(CLEAR, width)
@@ -163,11 +198,16 @@ def lzw_encode(data: bytes) -> bytes:
             w = b
             continue
         key = (w << 8) | b
-        nc = table.get(key)
+        nc = get(key)
         if nc is not None:
             w = nc
             continue
-        put(w, width)
+        acc = (acc << width) | w
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            append((acc >> nbits) & 0xFF)
+            acc &= (1 << nbits) - 1
         table[key] = next_code
         next_code += 1
         # width pairing: the decoder's table trails this one by exactly
@@ -180,6 +220,7 @@ def lzw_encode(data: bytes) -> bytes:
         if next_code == 4094:  # table nearly full: reset
             put(CLEAR, width)
             table = {}
+            get = table.get
             next_code = 258
             width = 9
         w = b
