@@ -122,6 +122,7 @@ def _empty_buf(with_simhash: bool = False) -> pd.DataFrame:
 _N_BUF_ARRS = 6
 
 _HEX = frozenset("0123456789abcdef")
+_HEX_DEL = str.maketrans("", "", "0123456789abcdef")
 
 
 def _fp_key(f):
@@ -130,8 +131,11 @@ def _fp_key(f):
     other string stays itself. Injective: digests (bytes) and raw
     strings (str) can never collide, and lowercase-hex → digest is a
     bijection, so membership semantics are exactly the fp-string
-    semantics."""
-    if len(f) == 32 and not set(f) - _HEX:
+    semantics. The lowercase-hex test is a C-speed ``str.translate``
+    deletion (empty ⟺ every char in 0-9a-f — the same predicate as the
+    old per-call ``set(f) - _HEX``, which cost 6× the conversion; this
+    runs once per fresh-buffered row)."""
+    if len(f) == 32 and not f.translate(_HEX_DEL):
         return bytes.fromhex(f)
     return f
 
