@@ -128,6 +128,27 @@ def trailing_mark(
     hashes = np.ascontiguousarray(hashes, dtype=np.int64)
     n = len(hashes)
     tail = np.asarray(corpus, dtype=np.int64)[-max_corpus:]
+    if len(tail) + n <= 256 and len(tail) + n <= max_corpus:
+        # small-window path (the per-conversation rings of
+        # ordered_assembly: tens of entries): ~10 numpy calls per row
+        # cost more than the whole comparison — plain ints with
+        # int.bit_count() run ~3x faster and the window never trims,
+        # so it is one growing list. Same marks/corpus, fuzz-pinned
+        # against the SWAR path below.
+        wl = [int(v) for v in tail.view(np.uint64)]
+        hu_l = [int(v) for v in hashes.view(np.uint64)]
+        keep = np.zeros(n, dtype=bool)
+        minh = np.full(n, -1, dtype=np.int64)
+        for i, h in enumerate(hu_l):
+            if wl:
+                md = min((c ^ h).bit_count() for c in wl)
+                minh[i] = md
+                if md <= threshold:
+                    continue
+            keep[i] = True
+            wl.append(h)
+        new_corpus = np.array(wl, dtype=np.uint64).view(np.int64)
+        return keep, minh, new_corpus
     buf = np.empty(len(tail) + n, dtype=np.uint64)
     if len(tail):
         buf[: len(tail)] = tail.view(np.uint64)
