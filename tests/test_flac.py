@@ -278,3 +278,25 @@ def test_flac_roundtrip_property(data, ch, block):
     got, rate = decode_flac(buf)
     want = x if x.ndim == 2 else x[:, None]
     assert rate == 8000 and np.array_equal(got, want)
+
+
+def test_crc16_gather_matches_byte_loop():
+    """The vectorized distance-table crc16 (r7) must equal the per-byte
+    table loop on both sides of the 32-byte gate, including the lazy
+    table growth across calls of increasing length."""
+    import numpy as np
+
+    from dataflow_mm_lrt_spark.functions import flac
+
+    tbl = flac._CRC16_LIST
+
+    def ref(data: bytes) -> int:
+        c = 0
+        for b in data:
+            c = tbl[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+        return c
+
+    rng = np.random.default_rng(11)
+    for n in [0, 1, 31, 32, 33, 100, 1500, 1500, 7000, 300]:
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert flac.crc16(data) == ref(data), n

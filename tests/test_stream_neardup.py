@@ -417,3 +417,38 @@ def test_stream_parity_with_multi_chunk_micro_batch(spark, tmp_path):
     assert got["keep"].tolist() == want["keep"].tolist()
     assert got["min_hamming"].tolist() == want["min_hamming"].tolist()
     assert (~got["keep"]).sum() > 0  # dup injection really suppressed rows
+
+
+def test_trailing_mark_small_and_large_paths_agree():
+    """The <=256-entry plain-int path (r7) and the SWAR buffer path must
+    produce identical marks, min-hamming and corpus on the same input —
+    exercised by calling straddling sizes around the 256 gate."""
+    import numpy as np
+
+    from dataflow_mm_lrt_spark.streaming import neardup as nd
+
+    rng = np.random.default_rng(7)
+    for n, ctail in [(10, 5), (60, 60), (120, 120), (200, 100), (300, 40)]:
+        hashes = rng.integers(-(2**63), 2**63, n, dtype=np.int64)
+        if n > 4:  # seed a near-dup so suppression actually fires
+            hashes[n // 2] = hashes[0] ^ 3
+        corpus = rng.integers(-(2**63), 2**63, ctail, dtype=np.int64)
+        got = nd.trailing_mark(hashes, corpus, 3, 10_000)
+        # independent per-row reference
+        wl = [int(v) for v in corpus.view(np.uint64)]
+        keep = np.zeros(n, dtype=bool)
+        minh = np.full(n, -1, dtype=np.int64)
+        for i, h in enumerate(hashes.view(np.uint64)):
+            h = int(h)
+            if wl:
+                md = min(bin(c ^ h).count("1") for c in wl)
+                minh[i] = md
+                if md <= 3:
+                    continue
+            keep[i] = True
+            wl.append(h)
+        assert np.array_equal(got[0], keep), (n, ctail)
+        assert np.array_equal(got[1], minh), (n, ctail)
+        assert np.array_equal(
+            got[2], np.array(wl, dtype=np.uint64).view(np.int64)
+        ), (n, ctail)

@@ -173,3 +173,55 @@ def test_tiff_pil_parity_if_available():
         blob = encode_tiff(img, compression=comp)
         ref = np.asarray(PIL.open(io.BytesIO(blob)).convert("RGB"))
         assert np.array_equal(ref, img), comp
+
+
+def test_packbits_encode_matches_byte_scan_reference():
+    """The vectorized run-array packbits encoder (r7) must emit the
+    exact bytes of the original greedy byte-at-a-time scan."""
+    import numpy as np
+
+    from dataflow_mm_lrt_spark.functions.tiff import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    def ref(data: bytes) -> bytes:
+        out = bytearray()
+        i, n = 0, len(data)
+        while i < n:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                out += bytes([257 - run, data[i]])
+                i += run
+                continue
+            lit_start = i
+            while i < n and i - lit_start < 128:
+                run = 1
+                while i + run < n and run < 3 and data[i + run] == data[i]:
+                    run += 1
+                if run >= 3:
+                    break
+                i += 1
+            out += bytes([i - lit_start - 1]) + data[lit_start:i]
+        return bytes(out)
+
+    rng = np.random.default_rng(13)
+    for t in range(60):
+        n = int(rng.integers(0, 2000))
+        kind = t % 4
+        if kind == 0:
+            data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        elif kind == 1:
+            data = rng.integers(0, 3, n, dtype=np.uint8).tobytes()
+        elif kind == 2:
+            data = np.repeat(
+                rng.integers(0, 256, max(n // 150 + 1, 1), dtype=np.uint8),
+                150,
+            )[:n].tobytes()
+        else:
+            data = (np.arange(n) % 251).astype(np.uint8).tobytes()
+        enc = packbits_encode(data)
+        assert enc == ref(data), (t, n)
+        assert packbits_decode(enc, n) == data
