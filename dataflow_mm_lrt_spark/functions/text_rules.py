@@ -72,6 +72,23 @@ SYMBOLS = ["#", "...", "…"]
 _PUNCT = string.punctuation
 
 
+def _gate(d: Dialect, cond: str, expr: str) -> str:
+    """Spark-only short-circuit: skip ``expr`` when a provably NECESSARY
+    condition for it is false (expr true ⟹ cond true, for non-null
+    input). Catalyst's IF evaluates only the taken branch, so texts that
+    cannot fire a rule skip its HOF/regex chain entirely — the r7
+    measurement on the 12M-turn drain corpus put the gated rules at
+    ~20 s of the 37.5 s keep_sql scan. NULL-exact: when ``cond`` is NULL
+    (null text) the original expression is evaluated so its NULL
+    propagation is preserved; rule flags are oracle-hashed columns, so
+    false vs NULL matters. The DuckDB rendering is returned UNGATED and
+    byte-identical — oracle_sql() text is fingerprinted by the driver
+    and must not change."""
+    if d.name != "spark":
+        return expr
+    return f"IF(coalesce({cond}, true), {expr}, false)"
+
+
 def _tokens(d: Dialect, t: str, lowered: bool = False) -> str:
     """python ``text.split()`` — whitespace tokens, empties removed."""
     src = f"lower({t})" if lowered else t
@@ -101,9 +118,14 @@ def rule_ellipsis_lines(d: Dialect, t: str) -> str:
     ``...`` or ``…``."""
     lines = _lines(d, t)
     ell = d.filter(lines, "l", d.rlike("l", r"(\.\.\.|…)\s*$"))
-    return (
+    expr = (
         f"(({d.size(ell)} * 1e0) / greatest({d.size(lines)}, 1)"
         f" >= {ELLIPSIS_THRESHOLD})"
+    )
+    # necessary: a line ending with an ellipsis means the text contains
+    # one; without it the ratio is 0/≥1 < 0.3
+    return _gate(
+        d, f"(contains({t}, '...') OR contains({t}, '…'))", expr
     )
 
 
@@ -129,12 +151,25 @@ def rule_html_entity(d: Dialect, t: str) -> str:
     for e in HTML_ENTITY_NAMES:
         checks.append(f"contains({t}, {d.lit('&' + e)})")
         checks.append(f"contains({t}, {d.lit('＆' + e)})")
-    return "(" + " OR ".join(checks) + ")"
+    expr = "(" + " OR ".join(checks) + ")"
+    # necessary: every checked entity starts with & or ＆ — one ampersand
+    # probe gates all 26 contains
+    return _gate(
+        d, f"(contains({t}, '&') OR contains({t}, '＆'))", expr
+    )
 
 
 def rule_id_card(d: Dialect, t: str) -> str:
     """rule 6 (:282-284): ≥3 case-insensitive ID-pattern matches."""
-    return f"({d.regexp_count(t, '(?i)' + ID_PATTERN)} >= {ID_CARD_THRESHOLD})"
+    expr = f"({d.regexp_count(t, '(?i)' + ID_PATTERN)} >= {ID_CARD_THRESHOLD})"
+    # necessary: every alternative of ID_PATTERN contains a match of one
+    # of these short stems — 身(份), 'id' (id number/card,
+    # identification, identity, ID No), 'i.d' (the I.D. form, whose
+    # unescaped dots are wildcards there too), 'ic' (NRIC/IC number),
+    # 'resident' — so a text with no stem match cannot reach count ≥ 3.
+    # rlike stops at the first stem hit; regexp_count walks every match
+    # of the 10-alternative pattern
+    return _gate(d, d.rlike(t, "(?i)(身|id|i.d|ic|resident)"), expr)
 
 
 def rule_no_punc_run(d: Dialect, t: str) -> str:
@@ -142,16 +177,42 @@ def rule_no_punc_run(d: Dialect, t: str) -> str:
     sent_wc = d.size(d.filter(d.split("s", r"\s+"), "w", "w <> ''"))
     per_para = d.transform(d.split("p", "[–.!?,;•/|…]"), "s", sent_wc)
     all_counts = f"flatten({d.transform(d.split(t, chr(10)), 'p', per_para)})"
-    return f"({d.array_max(all_counts)} > {NO_PUNC_THRESHOLD})"
+    expr = f"({d.array_max(all_counts)} > {NO_PUNC_THRESHOLD})"
+    # necessary: >112 words in one sentence means ≥113 non-ws chars plus
+    # ≥112 separators in a substring of the text — length(t) ≥ 225
+    return _gate(d, f"(length({t}) >= 225)", expr)
 
 
 def rule_special_chars(d: Dialect, t: str) -> str:
     """rule 8 (:302-303)."""
+    if d.name == "spark":
+        # patterns 1-3 are pure literal alternations — contains() is
+        # the same predicate without the regex engine; pattern 4 (the
+        # emoji codepoint-notation classes) keeps the rlike behind a
+        # 'U+' prefix probe every alternative starts with
+        p4 = _gate(
+            d,
+            f"contains({t}, 'U+')",
+            d.rlike(t, SPECIAL_CHAR_PATTERNS[3]),
+        )
+        return (
+            f"(contains({t}, 'u200e')"
+            f" OR contains({t}, '&#247;') OR contains({t}, '? :')"
+            f" OR contains({t}, '�') OR contains({t}, '□')"
+            f" OR contains({t}, '{{/U}}')"
+            f" OR {p4})"
+        )
     return "(" + " OR ".join(d.rlike(t, p) for p in SPECIAL_CHAR_PATTERNS) + ")"
 
 
 def rule_watermark(d: Dialect, t: str) -> str:
     """rule 9 (:306-307) — case-sensitive."""
+    if d.name == "spark":
+        # literal alternation — three contains() instead of the regex
+        return (
+            "(" + " OR ".join(f"contains({t}, '{w}')" for w in WATERMARKS)
+            + ")"
+        )
     return d.rlike(t, "|".join(WATERMARKS))
 
 
@@ -165,21 +226,31 @@ def rule_capital_words(d: Dialect, t: str) -> str:
     """rule 11 (:316-319): fraction of all-caps tokens > 0.2 (strict)."""
     toks = _tokens(d, t)
     caps = d.filter(toks, "w", "(upper(w) = w AND lower(w) <> w)")
-    return (
+    expr = (
         f"(({d.size(caps)} * 1e0) / greatest({d.size(toks)}, 1)"
         f" > {CAPITAL_WORDS_THRESHOLD})"
     )
+    # necessary: an all-caps token has a cased char whose lowercase
+    # differs, so lower(t) <> t; all-lowercase/uncased texts skip
+    return _gate(d, f"(lower({t}) <> {t})", expr)
 
 
 def rule_lorem_ipsum(d: Dialect, t: str) -> str:
     """rule 12 (:323-326)."""
     cnt = d.regexp_count(f"lower({t})", "lorem ipsum")
-    return f"(({cnt} * 1e0) / greatest(length({t}), 1) > {LOREM_IPSUM_THRESHOLD})"
+    expr = f"(({cnt} * 1e0) / greatest(length({t}), 1) > {LOREM_IPSUM_THRESHOLD})"
+    # necessary: count ≥ 1 requires the literal substring (the pattern
+    # has no metacharacters)
+    return _gate(d, f"contains(lower({t}), 'lorem ipsum')", expr)
 
 
 def rule_unique_words(d: Dialect, t: str) -> str:
     """rule 13 (:330-334): distinct(lower tokens)/tokens ≤ 0.1."""
     toks = _tokens(d, t, lowered=True)
+    # a token-count gate (≥10 or 0) was measured and REFUTED here: the
+    # gate's size(toks) is not subexpression-eliminated against the
+    # branch, so the lowered split ran twice (2.9 → 4.8 s on the
+    # 12M-turn corpus); ungated is the floor
     return (
         f"(({d.size(d.array_distinct(toks))} * 1e0) / greatest({d.size(toks)}, 1)"
         f" <= {UNIQUE_WORDS_THRESHOLD})"
@@ -207,8 +278,27 @@ def rule_javascript_lines(d: Dialect, t: str) -> str:
     nl = d.filter(d.transform(d.split(t, "\n"), "l", norm), "x", "x <> ''")
     n = d.size(nl)
     js = d.size(d.filter(nl, "x", "contains(x, 'javascript')"))
-    return (
+    expr = (
         f"({n} > 0 AND NOT ({n} <= 3 OR ({n} - {js}) >= {JAVASCRIPT_THRESHOLD}))"
+    )
+    # necessary: with js = 0 the rule reduces to NOT(n<=3 OR n>=3) ≡
+    # false, so it can only fire when some normalized line contains
+    # 'javascript'. Punctuation removal happens before the per-line
+    # whitespace collapse and neither the line-splitting newline nor
+    # other whitespace is removed by translate, so 'javascript' appears
+    # in a normalized line iff it appears in the whole-text
+    # translate+lower form — and THAT full-pass gate hides behind an
+    # even cheaper probe: it requires a 'j'/'J' in the raw text
+    # (translate only deletes characters)
+    return _gate(
+        d,
+        f"(contains({t}, 'j') OR contains({t}, 'J'))",
+        _gate(
+            d,
+            f"contains(lower(translate({t}, {d.lit(_PUNCT)}, {d.lit('')})), "
+            "'javascript')",
+            expr,
+        ),
     )
 
 
